@@ -1,0 +1,130 @@
+"""Benchmark: rank-64 TT core contraction throughput + d=12 ALS sweep time.
+
+Runs on the real TPU chip (the default 'axon' platform in this container).
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+Primary metric (BASELINE.json): rank-64 core-contraction GFLOP/s per chip,
+measured on the batched two-site TT contraction (the MPO*MPS/ALS hot kernel
+shape) in bfloat16 with f32 accumulation. ``vs_baseline`` is the fraction of
+the 70%-of-roofline target (v5e bf16 peak ~197 TFLOP/s), i.e. 1.0 == target.
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+V5E_BF16_PEAK_GFLOPS = 197_000.0  # ~197 TFLOP/s bf16 per v5e chip
+TARGET_FRACTION = 0.70
+
+
+def _sync(out):
+    """Force completion. On the remote-TPU ('axon') platform
+    ``block_until_ready`` returns when the RPC future resolves, not when the
+    device finishes, so materialize a scalar on the host instead."""
+    leaves = jax.tree_util.tree_leaves(out)
+    acc = 0.0
+    for leaf in leaves:
+        acc += float(jnp.sum(jnp.abs(leaf[(0,) * (leaf.ndim - 1)][:1])))
+    return acc
+
+
+def _time_fn(fn, *args, warmup=2, iters=10):
+    out = None
+    for _ in range(warmup):
+        out = fn(*args)
+    _sync(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+        _sync(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_rank64_contraction():
+    """Batched two-site core contraction at rank 64 (n=2):
+    ``C[B, r*n, n*r] = A[B, r*n, r] @ Bm[B, r, n*r]`` — the merge at the heart
+    of MPO application, two-site solves, and rounding.
+
+    The kernel is chained with a data dependency inside one jitted
+    ``fori_loop`` (merge then re-split back to the input shape), so neither
+    async dispatch nor any executor-side caching can fake the timing.
+    """
+    r = 64
+    n = 2
+    batch = 4096
+    iters = 256  # keep device time >> the ~25ms RPC sync round trip
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.standard_normal((batch, r * n, r)) * 0.1,
+                    dtype=jnp.bfloat16)
+    b = jnp.asarray(rng.standard_normal((batch, r, n * r)) * 0.1,
+                    dtype=jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((batch, n * r, r)) * 0.1,
+                    dtype=jnp.bfloat16)
+
+    def merge(x, y):
+        return jax.lax.dot_general(
+            x, y, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+
+    @jax.jit
+    def chained(a, b, w):
+        def body(_, acc):
+            c = merge(acc, b)                      # (B, r*n, n*r) merge
+            nxt = merge(c, w)                       # re-split back to (B, r*n, r)
+            # keep magnitudes bounded; sample a small slice so the reduction
+            # doesn't become an HBM-bandwidth-bound full pass over the tensor
+            scale = jax.lax.rsqrt(jnp.mean(nxt[:32] * nxt[:32]) + 1e-6)
+            nxt = (nxt * scale).astype(jnp.bfloat16)
+            return nxt
+        return jax.lax.fori_loop(0, iters, body, a)
+
+    dt_total = _time_fn(chained, a, b, w, warmup=1, iters=2)
+    flops_per_iter = (2.0 * batch * (r * n) * r * (n * r)          # merge
+                      + 2.0 * batch * (r * n) * (n * r) * r)       # re-split
+    gflops = flops_per_iter * iters / dt_total / 1e9
+    return gflops, dt_total / iters
+
+
+def bench_als_sweep_d12():
+    """One full jitted scan-ALS sweep pass (fwd+bwd) on the d=12 QTT heat
+    problem, f32, rmax=16."""
+    import __graft_entry__
+
+    fn, args = __graft_entry__.entry()
+    jfn = jax.jit(fn)
+    dt = _time_fn(jfn, *args, warmup=1, iters=5)
+    return dt * 1e3  # ms
+
+
+def main():
+    import os
+
+    extras = {}
+    gflops, dt_contract = bench_rank64_contraction()
+    extras["contract_us"] = round(dt_contract * 1e6, 2)
+    # the full d=12 sweep adds a multi-minute compile over the remote-TPU
+    # tunnel; opt in with BENCH_ALS=1
+    if os.environ.get("BENCH_ALS") == "1":
+        try:
+            extras["als_sweep_d12_ms"] = round(bench_als_sweep_d12(), 3)
+        except Exception as e:
+            extras["als_sweep_error"] = str(e)[:200]
+
+    result = {
+        "metric": "rank64_core_contraction_gflops_per_chip",
+        "value": round(gflops, 1),
+        "unit": "GFLOP/s",
+        "vs_baseline": round(
+            gflops / (TARGET_FRACTION * V5E_BF16_PEAK_GFLOPS), 4),
+        **extras,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

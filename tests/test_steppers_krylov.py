@@ -1,0 +1,229 @@
+"""Time stepper and Krylov tests (mirror /root/reference/test/test_euler.jl
+and test_vectorinterface.jl patterns)."""
+
+import numpy as np
+import pytest
+import scipy.linalg
+
+import jax
+import jax.numpy as jnp
+
+from ttnx import (
+    function_to_qtt,
+    id_tto,
+    laplacian,
+    qtt_sin,
+    qtto_to_matrix,
+    rand_tt,
+    toeplitz_to_qtto,
+    ttv_to_tensor,
+)
+from ttnx.solvers.krylov import (
+    bicgstab_tt,
+    cg_tt,
+    expm_multiply,
+    gmres_tt,
+    krylov_linsolve,
+)
+from ttnx.solvers.steppers import (
+    crank_nicholson_method,
+    euler_method,
+    implicit_euler_method,
+    rk4_method,
+)
+from ttnx.core.algebra import matvec
+
+
+def vec(tt):
+    return np.asarray(ttv_to_tensor(tt)).reshape(-1)
+
+
+def mat(op):
+    return np.asarray(qtto_to_matrix(op))
+
+
+def heat_setup(d=6, kappa=1.0):
+    """Negative-definite heat operator and a smooth initial state."""
+    n = 2 ** d
+    h = 1.0 / (n + 1)
+    A = (kappa / h ** 2) * toeplitz_to_qtto(-2.0, 1.0, 1.0, d)
+    u0 = qtt_sin(d, a=h, b=1 - h)
+    return A, u0
+
+
+class TestExpmMultiply:
+    def test_matches_dense_expm(self, rng):
+        n = 20
+        M = rng.standard_normal((n, n))
+        M = 0.5 * (M + M.T)
+        v = rng.standard_normal(n)
+        f = lambda x: jnp.asarray(M) @ x
+        for t in [0.3, -0.7, 0.2j, -1j * 0.4]:
+            out = np.asarray(expm_multiply(f, t, jnp.asarray(v)))
+            expect = scipy.linalg.expm(t * M) @ v
+            assert np.linalg.norm(out - expect) < 1e-10 * np.linalg.norm(expect)
+
+    def test_zero_vector(self):
+        f = lambda x: 2 * x
+        v = jnp.zeros(5)
+        assert np.allclose(np.asarray(expm_multiply(f, 0.5, v)), 0.0)
+
+    def test_nonsymmetric(self, rng):
+        n = 12
+        M = rng.standard_normal((n, n))
+        v = rng.standard_normal(n)
+        out = np.asarray(expm_multiply(lambda x: jnp.asarray(M) @ x, 0.5,
+                                       jnp.asarray(v)))
+        expect = scipy.linalg.expm(0.5 * M) @ v
+        assert np.linalg.norm(out - expect) < 1e-9 * np.linalg.norm(expect)
+
+
+class TestTTKrylovSolvers:
+    def _system(self, key, d=5):
+        # well-conditioned operator: convergence in a few Krylov iterations
+        A = id_tto(d) + 0.1 * laplacian(d)
+        x_true = function_to_qtt(lambda x: np.sin(np.pi * x) + 0.3, d)
+        from ttnx import ttv_decomp
+
+        b_dense = mat(A) @ vec(x_true)
+        b = ttv_decomp(b_dense.reshape((2,) * d), tol=1e-14)
+        x0 = rand_tt(key, (2,) * d, rmax=2, normalise=True)
+        return A, b, x_true, x0
+
+    def test_gmres(self, key):
+        A, b, x_true, x0 = self._system(key)
+        op = lambda x: matvec(A, x)
+        x = gmres_tt(op, b, x0, krylovdim=10, maxiter=20, tol=1e-10)
+        assert np.linalg.norm(vec(x) - vec(x_true)) < 1e-6
+
+    def test_gmres_full_ill_conditioned(self, key):
+        # full GMRES (krylovdim >= dim) solves the unscaled Laplacian exactly
+        d = 4
+        A = laplacian(d)
+        x_true = function_to_qtt(lambda x: np.sin(np.pi * x) + 0.3, d)
+        from ttnx import ttv_decomp
+
+        b = ttv_decomp((mat(A) @ vec(x_true)).reshape((2,) * d), tol=1e-14)
+        x0 = rand_tt(key, (2,) * d, rmax=2, normalise=True)
+        x = gmres_tt(lambda v: matvec(A, v), b, x0, krylovdim=16, maxiter=3,
+                     tol=1e-12)
+        assert np.linalg.norm(vec(x) - vec(x_true)) < 1e-8
+
+    def test_cg(self, key):
+        A, b, x_true, x0 = self._system(key)
+        op = lambda x: matvec(A, x)
+        x = cg_tt(op, b, x0, maxiter=200, tol=1e-10)
+        assert np.linalg.norm(vec(x) - vec(x_true)) < 1e-6
+
+    def test_bicgstab(self, key):
+        A, b, x_true, x0 = self._system(key)
+        op = lambda x: matvec(A, x)
+        x = bicgstab_tt(op, b, x0, maxiter=100, tol=1e-10)
+        assert np.linalg.norm(vec(x) - vec(x_true)) < 1e-6
+
+    def test_krylov_linsolve_auto(self, key):
+        A, b, x_true, x0 = self._system(key)
+        x = krylov_linsolve(A, b, x0, issymmetric=True, isposdef=True,
+                            maxiter=40)
+        assert np.linalg.norm(vec(x) - vec(x_true)) < 1e-5
+
+    def test_krylov_linsolve_rank_cap(self, key):
+        A, b, x_true, x0 = self._system(key)
+        x = krylov_linsolve(A, b, x0, max_bond=6, maxiter=60, rtol=1e-10)
+        assert max(x.ranks) <= 6
+        assert np.linalg.norm(vec(x) - vec(x_true)) < 1e-5
+
+    def test_unknown_solver_raises(self, key):
+        A, b, _, x0 = self._system(key)
+        with pytest.raises(ValueError):
+            krylov_linsolve(A, b, x0, krylov_solver="nope")
+
+
+class TestSteppers:
+    def test_explicit_euler_matches_dense(self):
+        A, u0 = heat_setup(d=5, kappa=1e-4)
+        steps = [1e-3] * 4
+        u = euler_method(A, u0, steps, normalize=False)
+        dense = vec(u0)
+        Ad = mat(A)
+        for h in steps:
+            dense = dense + h * (Ad @ dense)
+        assert np.linalg.norm(vec(u) - dense) / np.linalg.norm(dense) < 1e-10
+
+    @pytest.mark.parametrize("tt_solver", ["mals", "als", "dmrg", "krylov"])
+    def test_implicit_euler_matches_dense(self, key, tt_solver):
+        A, u0 = heat_setup(d=5, kappa=1e-4)
+        steps = [1e-3] * 3
+        guess = rand_tt(key, (2,) * 5, rmax=4, normalise=True)
+        kwargs = {}
+        if tt_solver == "krylov":
+            kwargs = {"max_bond": 8, "rtol": 1e-12, "maxiter": 50}
+        u = implicit_euler_method(A, u0, guess, steps, normalize=False,
+                                  tt_solver=tt_solver, **kwargs)
+        dense = vec(u0)
+        Ad = mat(A)
+        eye = np.eye(Ad.shape[0])
+        for h in steps:
+            dense = np.linalg.solve(eye - h * Ad, dense)
+        assert np.linalg.norm(vec(u) - dense) / np.linalg.norm(dense) < 1e-7
+
+    def test_crank_nicholson_matches_dense(self, key):
+        A, u0 = heat_setup(d=5, kappa=1e-4)
+        steps = [1e-3] * 3
+        guess = rand_tt(key, (2,) * 5, rmax=4, normalise=True)
+        u = crank_nicholson_method(A, u0, guess, steps, normalize=False)
+        dense = vec(u0)
+        Ad = mat(A)
+        eye = np.eye(Ad.shape[0])
+        for h in steps:
+            dense = np.linalg.solve(eye - h / 2 * Ad, (eye + h / 2 * Ad) @ dense)
+        assert np.linalg.norm(vec(u) - dense) / np.linalg.norm(dense) < 1e-8
+
+    def test_rk4_matches_dense(self):
+        A, u0 = heat_setup(d=5, kappa=1e-4)
+        steps = [1e-3] * 3
+        u = rk4_method(A, u0, steps, max_bond=16, normalize=False)
+        dense = vec(u0)
+        Ad = mat(A)
+        for h in steps:
+            k1 = Ad @ dense
+            k2 = Ad @ (dense + h / 2 * k1)
+            k3 = Ad @ (dense + h / 2 * k2)
+            k4 = Ad @ (dense + h * k3)
+            dense = dense + h / 6 * (k1 + 2 * k2 + 2 * k3 + k4)
+        assert np.linalg.norm(vec(u) - dense) / np.linalg.norm(dense) < 1e-9
+
+    def test_heat_equation_decay_d10(self, key):
+        # BASELINE config 2 class: d=10 heat equation by Crank-Nicolson; the
+        # initial sine is an exact eigenmode so the decay is analytic.
+        d = 10
+        n = 2 ** d
+        h_grid = 1.0 / (n + 1)
+        A = (1.0 / h_grid ** 2) * toeplitz_to_qtto(-2.0, 1.0, 1.0, d)
+        u0 = qtt_sin(d, a=h_grid, b=1 - h_grid)
+        lam = -4.0 / h_grid ** 2 * np.sin(np.pi * h_grid / 2) ** 2
+        dt = 1e-8
+        n_steps = 5
+        guess = rand_tt(key, (2,) * d, rmax=4, normalise=True)
+        u = crank_nicholson_method(A, u0, guess, [dt] * n_steps,
+                                   normalize=False, tt_solver="mals")
+        # CN amplification factor per step for the eigenmode
+        g = (1 + dt * lam / 2) / (1 - dt * lam / 2)
+        expect = g ** n_steps * vec(u0)
+        rel = np.linalg.norm(vec(u) - expect) / np.linalg.norm(expect)
+        # one MALS pass per step solves to ~1e-11; the 1e-12 headline target
+        # is measured with converged sweeps in bench.py
+        assert rel < 1e-9
+
+    def test_return_error(self, key):
+        A, u0 = heat_setup(d=5, kappa=1e-4)
+        guess = rand_tt(key, (2,) * 5, rmax=4, normalise=True)
+        _, err = implicit_euler_method(A, u0, guess, [1e-3] * 2,
+                                       normalize=False, return_error=True)
+        assert err < 1e-6
+
+    def test_unknown_solver(self, key):
+        A, u0 = heat_setup(d=5)
+        guess = rand_tt(key, (2,) * 5, rmax=2)
+        with pytest.raises(ValueError):
+            implicit_euler_method(A, u0, guess, [1e-3], tt_solver="bogus")

@@ -69,4 +69,97 @@ from ttnx.core.algebra import (  # noqa: E402
     euclidean_distance_normalized,
 )
 
+from ttnx.ops.operators import (  # noqa: E402
+    toeplitz_to_qtto,
+    shift,
+    gradient,
+    laplacian,
+    laplacian_DN,
+    laplacian_ND,
+    laplacian_NN,
+    laplacian_P,
+    inv_laplacian_DN,
+    qtto_prolongation,
+    qtto_constant_prolongation,
+    qtto_linear_prolongation,
+    pauli_matrix,
+    pauli_sum_tto,
+    pauli_pair_sum_tto,
+    H_mu,
+    H_munu,
+    heisenberg_xyz_tto,
+    ising_tto,
+    xxz_tto,
+    xxx_tto,
+    xy_tto,
+    qtt_laplacian,
+)
+from ttnx.ops.qtt import (  # noqa: E402
+    gauss_chebyshev_lobatto,
+    index_to_point,
+    tuple_to_index,
+    function_to_tensor,
+    tensor_to_grid,
+    function_to_qtt,
+    function_to_qtt_uniform,
+    qtt_to_function,
+    qtt_to_vector,
+    qtt_polynom,
+    qtt_cos,
+    qtt_sin,
+    qtt_exp,
+    qtt_chebyshev,
+    qtt_basis_vector,
+    qtt_trapezoidal,
+    qtto_to_matrix,
+    to_qtt,
+    to_ttv,
+    QTTVector,
+    QTTOperator,
+    check_compat,
+    reorder,
+    function_to_qttv,
+    qttv_to_array,
+)
+from ttnx.ops.fourier import (  # noqa: E402
+    fourier_qtto,
+    reverse_qtt_bits,
+)
+from ttnx.solvers.als import (  # noqa: E402
+    als_linsolve,
+    als_eigsolve,
+    als_gen_eigsolv,
+)
+from ttnx.solvers.mals import (  # noqa: E402
+    mals_linsolve,
+    mals_eigsolve,
+)
+from ttnx.solvers.dmrg import (  # noqa: E402
+    dmrg_linsolve,
+    dmrg_eigsolve,
+)
+from ttnx.solvers.tdvp import (  # noqa: E402
+    tdvp,
+    tdvp2,
+)
+from ttnx.solvers.steppers import (  # noqa: E402
+    euler_method,
+    implicit_euler_method,
+    crank_nicholson_method,
+    rk4_method,
+)
+from ttnx.solvers.krylov import (  # noqa: E402
+    krylov_linsolve,
+    expm_multiply,
+)
+from ttnx.cross.cross import (  # noqa: E402
+    MaxVol,
+    Greedy,
+    DMRGCross,
+    MaxVolPivot,
+    RandomPivot,
+    tt_cross,
+    tt_integrate,
+)
+
 __version__ = "0.1.0"

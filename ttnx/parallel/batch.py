@@ -1,0 +1,89 @@
+"""Mesh/sharding layer: continuous batching of independent QTT solves plus
+rank-axis sharding over a device mesh.
+
+The reference is a single-process library (no distributed backend — SURVEY §2.9
+documents the absence); this layer is the TPU-native obligation from
+BASELINE.json's north star: batch independent solves over a ``dp`` axis and
+shard padded rank axes over ``tp``, letting XLA insert ICI collectives.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ttnx.core.tt import TTOperator, TTVector
+from ttnx.solvers.als_scan import als_sweeps, pack_op, pack_tt, rank_masks
+
+__all__ = [
+    "make_mesh",
+    "batched_als_sweeps",
+    "batched_als_linsolve",
+    "shard_batched_problem",
+]
+
+
+def make_mesh(dp: int | None = None, tp: int = 1, devices=None) -> Mesh:
+    """A ``(dp, tp)`` device mesh: data-parallel batch axis x tensor-parallel
+    rank axis. Defaults to all devices on ``dp``."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if dp is None:
+        dp = n // tp
+    if dp * tp != n:
+        raise ValueError(f"dp*tp must equal device count ({dp}*{tp} != {n})")
+    dev_array = np.array(devices).reshape(dp, tp)
+    return Mesh(dev_array, axis_names=("dp", "tp"))
+
+
+def batched_als_sweeps(A_stack, b_batch, x_batch, masks, sweep_count: int = 2):
+    """vmap of the scan-based ALS over a leading problem axis: one operator,
+    a batch of right-hand sides and initial guesses."""
+    fn = jax.vmap(
+        lambda b, x: als_sweeps(A_stack, b, x, masks, sweep_count),
+        in_axes=(0, 0))
+    return fn(b_batch, x_batch)
+
+
+def shard_batched_problem(mesh: Mesh, A_stack, b_batch, x_batch, masks):
+    """Place a batched problem on the mesh: batch axis over ``dp``, the
+    trailing padded rank axis over ``tp``; operator and masks replicated."""
+    A_sh = jax.device_put(A_stack, NamedSharding(mesh, P()))
+    b_sh = jax.device_put(b_batch, NamedSharding(mesh, P("dp")))
+    x_sh = jax.device_put(
+        x_batch, NamedSharding(mesh, P("dp", None, None, None, "tp")))
+    m_sh = jax.device_put(masks, NamedSharding(mesh, P()))
+    return A_sh, b_sh, x_sh, m_sh
+
+
+def batched_als_linsolve(mesh: Mesh, A: TTOperator, bs: list[TTVector],
+                         x0s: list[TTVector], sweep_count: int = 2,
+                         rmax: int | None = None):
+    """Solve many independent ``A x = b_k`` problems across the mesh.
+
+    All problems must share dims and the rank profile of ``x0s[0]`` (pad your
+    guesses to a common ``rmax`` first). Returns a list of TTVectors.
+    """
+    from ttnx.core.canonical import orthogonalize
+    from ttnx.solvers.als_scan import unpack_tt
+
+    x0s = [orthogonalize(x, 0) for x in x0s]
+    rks = x0s[0].ranks
+    if rmax is None:
+        rmax = max(rks)
+    dt = jnp.result_type(A.dtype, *[b.dtype for b in bs])
+    A_stack = pack_op(A.astype(dt), max(A.ranks))
+    Rb = max(max(b.ranks) for b in bs)
+    b_batch = jnp.stack([pack_tt(b.astype(dt), Rb) for b in bs])
+    x_batch = jnp.stack([pack_tt(x.astype(dt), rmax) for x in x0s])
+    real_dt = jnp.zeros((), dt).real.dtype
+    masks = rank_masks(rks, rmax, dtype=real_dt)
+
+    A_sh, b_sh, x_sh, m_sh = shard_batched_problem(
+        mesh, A_stack, b_batch, x_batch, masks)
+    with mesh:
+        out = batched_als_sweeps(A_sh, b_sh, x_sh, m_sh, sweep_count)
+    return [unpack_tt(out[k], rks) for k in range(len(bs))]

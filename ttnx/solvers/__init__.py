@@ -1,0 +1,17 @@
+from ttnx.solvers.als import als_linsolve, als_eigsolve, als_gen_eigsolv  # noqa: F401
+from ttnx.solvers.mals import mals_linsolve, mals_eigsolve  # noqa: F401
+from ttnx.solvers.dmrg import dmrg_linsolve, dmrg_eigsolve  # noqa: F401
+from ttnx.solvers.tdvp import tdvp, tdvp2, tdvp1sweep, tdvp2sweep  # noqa: F401
+from ttnx.solvers.steppers import (  # noqa: F401
+    euler_method,
+    implicit_euler_method,
+    crank_nicholson_method,
+    rk4_method,
+)
+from ttnx.solvers.krylov import (  # noqa: F401
+    krylov_linsolve,
+    expm_multiply,
+    gmres_tt,
+    bicgstab_tt,
+    cg_tt,
+)

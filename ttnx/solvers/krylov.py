@@ -1,0 +1,259 @@
+"""Krylov primitives built from scratch for the TPU framework.
+
+The reference leans on KrylovKit (``exponentiate``, ``linsolve``, GMRES /
+BiCGStab / CG) plus a VectorInterface extension that rounds TT ranks inside the
+iteration via the ``KRYLOV_ROUND_RANK`` global
+(/root/reference/src/solvers/euler.jl:5-74,
+/root/reference/ext/TensorTrainNumericsVectorInterfaceExt). Here:
+
+* :func:`expm_multiply` — Arnoldi/Lanczos ``exp(t*H) v`` on dense local
+  tensors (TDVP's inner step; replaces KrylovKit.exponentiate).
+* TT-valued GMRES / BiCGStab / CG where every rank-growing ``A*x`` / ``x+y``
+  is followed by an *explicit* rounding step — no global side channel.
+* :func:`krylov_linsolve` — solver autoselection mirroring the reference
+  (euler.jl:34-74): CG if posdef+symmetric, else BiCGStab when rounding,
+  else GMRES.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import jax.numpy as jnp
+import jax.scipy.linalg
+
+from ttnx.core.algebra import add, dot, matvec, norm, scale, sub
+from ttnx.core.canonical import orthogonalize, tt_round
+from ttnx.core.tt import TTOperator, TTVector
+
+__all__ = ["expm_multiply", "krylov_linsolve", "gmres_tt", "bicgstab_tt",
+           "cg_tt"]
+
+
+# ---------------------------------------------------------------------------
+# exp(t*H) v by Arnoldi (dense vectors — TDVP local steps)
+# ---------------------------------------------------------------------------
+
+
+def expm_multiply(f: Callable, t, v, tol: float = 1e-12, krylov_dim: int = 30,
+                  ishermitian: bool = True):
+    """Compute ``exp(t * H) v`` where ``H`` acts through ``f`` on arrays of
+    ``v``'s shape. Arnoldi with full reorthogonalization (stable for the
+    Hermitian TDVP case too); adaptive dimension with the standard
+    ``h_{m+1,m} |y_m|`` error estimate."""
+    del ishermitian  # full-GS Arnoldi covers both cases
+    shape = v.shape
+    v0 = v.reshape(-1)
+    m_dim = v0.shape[0]
+    beta = float(jnp.linalg.norm(v0))
+    if beta == 0.0:
+        return v
+    m_max = min(krylov_dim, m_dim)
+    dtype = jnp.result_type(v0.dtype, jnp.asarray(t).dtype)
+    V = [v0.astype(dtype) / beta]
+    H = np.zeros((m_max + 1, m_max), dtype=np.complex128)
+    y = None
+    m_used = 0
+    for j in range(m_max):
+        w = f(V[j].reshape(shape)).reshape(-1).astype(dtype)
+        for _ in range(2):  # twice-is-enough Gram-Schmidt
+            for i in range(j + 1):
+                c = jnp.vdot(V[i], w)
+                H[i, j] += complex(c)
+                w = w - c * V[i]
+        h_next = float(jnp.linalg.norm(w))
+        H[j + 1, j] = h_next
+        m_used = j + 1
+        # small exponential of the (j+1)x(j+1) Hessenberg block
+        Hm = H[: j + 1, : j + 1]
+        expH = jax.scipy.linalg.expm(jnp.asarray(t * Hm))
+        y = beta * np.asarray(expH)[:, 0]
+        err = h_next * abs(y[j]) * abs(t) if j + 1 < m_dim else 0.0
+        if h_next < 1e-14 or err < tol * max(np.linalg.norm(y), 1e-300):
+            break
+        V.append(w / h_next)
+    if not jnp.issubdtype(dtype, jnp.complexfloating):
+        y = np.real(y)
+    out = jnp.zeros_like(V[0])
+    for i in range(m_used):
+        out = out + y[i] * V[i]
+    return out.reshape(shape).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# TT-valued Krylov linear solvers with explicit rank rounding
+# ---------------------------------------------------------------------------
+
+
+def _rounder(max_bond: int):
+    """Per-iteration rank control. Uses :func:`tt_round` (orthogonalize +
+    truncation sweep) rather than the reference's gauge-free two-site
+    ``tt_compress!`` — the latter truncates local SVDs in a non-canonical
+    gauge, which at tight caps throws away non-negligible weight and puts a
+    noise floor under the Krylov recurrences."""
+    if max_bond > 0:
+        return lambda x: tt_round(x, max_bond=max_bond)
+    return lambda x: orthogonalize(x, 0)
+
+
+def gmres_tt(op: Callable, b: TTVector, x0: TTVector, krylovdim: int = 8,
+             maxiter: int = 20, tol: float = 1e-8, max_bond: int = 0):
+    """Restarted GMRES over TT vectors; every vector update is rounded."""
+    rnd = _rounder(max_bond)
+    x = rnd(x0)
+    bnorm = float(norm(b))
+    if bnorm == 0.0:
+        bnorm = 1.0
+    for _ in range(maxiter):
+        r = rnd(sub(b, op(x)))
+        beta = float(norm(r))
+        if beta <= tol:
+            return x
+        V = [scale(1.0 / beta, r)]
+        H = np.zeros((krylovdim + 1, krylovdim), dtype=np.complex128)
+        m_used = 0
+        for j in range(krylovdim):
+            w = op(V[j])
+            for i in range(j + 1):
+                c = complex(dot(V[i], w))
+                H[i, j] = c
+                w = sub(w, scale(c, V[i]))
+            w = rnd(w)
+            hn = float(norm(w))
+            H[j + 1, j] = hn
+            m_used = j + 1
+            if hn < 1e-14:
+                break
+            V.append(scale(1.0 / hn, w))
+        e1 = np.zeros(m_used + 1, dtype=np.complex128)
+        e1[0] = beta
+        y, *_ = np.linalg.lstsq(H[: m_used + 1, :m_used], e1, rcond=None)
+        if not b.is_complex and np.allclose(np.imag(y), 0):
+            y = np.real(y)
+        for i in range(m_used):
+            x = add(x, scale(y[i], V[i]))
+        x = rnd(x)
+        res = float(norm(sub(b, op(x))))
+        if res <= tol:
+            return x
+    return x
+
+
+def bicgstab_tt(op: Callable, b: TTVector, x0: TTVector, maxiter: int = 20,
+                tol: float = 1e-8, max_bond: int = 0):
+    """BiCGStab over TT vectors with per-update rounding.
+
+    TT rounding perturbs the recurrences, so the classic serious-breakdown
+    condition (``<r0, r> -> 0``) occurs routinely; instead of aborting we
+    restart the recurrence from the true residual.
+    """
+    rnd = _rounder(max_bond)
+    x = rnd(x0)
+    r = rnd(sub(b, op(x)))
+    r0 = r
+    rho = alpha = omega = 1.0 + 0.0j
+    p = v = None
+    rnorm0 = max(float(norm(r)), 1e-300)
+    it = 0
+    while it < maxiter:
+        it += 1
+        rho_new = complex(dot(r0, r))
+        breakdown = abs(rho_new) < 1e-14 * rnorm0 ** 2
+        if not breakdown:
+            if p is None:
+                p = r
+            else:
+                beta = (rho_new / rho) * (alpha / omega)
+                p = rnd(add(r, scale(beta, sub(p, scale(omega, v)))))
+            v = op(p)
+            denom = complex(dot(r0, v))
+            breakdown = abs(denom) < 1e-300
+        if breakdown:
+            # restart from the true residual
+            r = rnd(sub(b, op(x)))
+            if float(norm(r)) <= tol:
+                return x
+            r0 = r
+            rho = alpha = omega = 1.0 + 0.0j
+            p = v = None
+            continue
+        alpha = rho_new / denom
+        s = rnd(sub(r, scale(alpha, v)))
+        if float(norm(s)) <= tol:
+            x = rnd(add(x, scale(alpha, p)))
+            return x
+        t_vec = op(s)
+        tt_norm2 = complex(dot(t_vec, t_vec))
+        if abs(tt_norm2) < 1e-300:
+            x = rnd(add(x, scale(alpha, p)))
+            r = rnd(sub(b, op(x)))
+            r0 = r
+            rho = alpha = omega = 1.0 + 0.0j
+            p = v = None
+            continue
+        omega = complex(dot(t_vec, s)) / tt_norm2
+        x = rnd(add(add(x, scale(alpha, p)), scale(omega, s)))
+        r = rnd(sub(s, scale(omega, t_vec)))
+        rho = rho_new
+        if float(norm(r)) <= tol:
+            return x
+    return x
+
+
+def cg_tt(op: Callable, b: TTVector, x0: TTVector, maxiter: int = 100,
+          tol: float = 1e-8, max_bond: int = 0):
+    """Conjugate gradients over TT vectors with per-update rounding (SPD)."""
+    rnd = _rounder(max_bond)
+    x = rnd(x0)
+    r = rnd(sub(b, op(x)))
+    p = r
+    rs = complex(dot(r, r))
+    for _ in range(maxiter):
+        if abs(rs) ** 0.5 <= tol:
+            return x
+        Ap = op(p)
+        alpha = rs / complex(dot(p, Ap))
+        x = rnd(add(x, scale(alpha, p)))
+        r = rnd(sub(r, scale(alpha, Ap)))
+        rs_new = complex(dot(r, r))
+        p = rnd(add(r, scale(rs_new / rs, p)))
+        rs = rs_new
+    return x
+
+
+def krylov_linsolve(A: TTOperator, b: TTVector, guess: TTVector,
+                    max_bond: int = 0, krylov_solver: str = "auto",
+                    krylovdim: int = 8, maxiter: int = 20, rtol: float = 1e-8,
+                    atol: float = 1e-12, tol: float | None = None,
+                    issymmetric: bool = False, ishermitian: bool | None = None,
+                    isposdef: bool = False):
+    """TT Krylov linear solve with rank-capped matvec, mirroring the
+    reference's solver autoselection (/root/reference/src/solvers/euler.jl:34-74):
+    ``:auto`` picks CG for posdef symmetric/hermitian problems, else BiCGStab
+    when rounding (``max_bond > 0``), else GMRES."""
+    if ishermitian is None:
+        ishermitian = issymmetric
+    if max_bond > 0:
+        op = lambda x: tt_round(matvec(A, x), max_bond=max_bond)
+    else:
+        op = lambda x: matvec(A, x)
+    solver = krylov_solver
+    if solver == "auto":
+        if isposdef and (issymmetric or ishermitian):
+            solver = "cg"
+        else:
+            solver = "bicgstab" if max_bond > 0 else "gmres"
+    tol_value = tol if tol is not None else max(atol, rtol * float(norm(b)))
+    if solver == "gmres":
+        return gmres_tt(op, b, guess, krylovdim=krylovdim, maxiter=maxiter,
+                        tol=tol_value, max_bond=max_bond)
+    if solver == "bicgstab":
+        return bicgstab_tt(op, b, guess, maxiter=max(maxiter, krylovdim),
+                           tol=tol_value, max_bond=max_bond)
+    if solver == "cg":
+        return cg_tt(op, b, guess, maxiter=krylovdim * maxiter, tol=tol_value,
+                     max_bond=max_bond)
+    raise ValueError(
+        f"Unknown Krylov solver: {krylov_solver}. "
+        "Use 'auto', 'bicgstab', 'cg', or 'gmres'.")
