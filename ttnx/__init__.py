@@ -161,5 +161,15 @@ from ttnx.cross.cross import (  # noqa: E402
     tt_cross,
     tt_integrate,
 )
+from ttnx.utils.manifold import (  # noqa: E402
+    ttvector_manifold,
+    manifold_gradient_descent,
+    rayleigh_quotient,
+)
+from ttnx.utils.convert import (  # noqa: E402
+    to_ttvector,
+    from_reference_layout,
+)
+from ttnx.utils.checkpoint import save_tt, load_tt  # noqa: E402
 
 __version__ = "0.1.0"

@@ -1,0 +1,104 @@
+"""Pallas TPU kernels for the TT hot loops.
+
+The framework's FLOPs live in batched small-K matmuls (two-site merges, MPO
+applications, environment updates at rank r with n=2 physical dims). XLA
+emits one HBM round trip per contraction; these kernels fuse contraction
+chains in VMEM so intermediate ``(r*n, n*r)`` blocks never touch HBM.
+
+Kernels run in interpret mode on CPU (tests) and compile with Mosaic on TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["two_site_merge", "merge_resplit_chain"]
+
+
+def _merge_kernel(a_ref, b_ref, out_ref):
+    # a: (Bt, rl*n, rm), b: (Bt, rm, n*rr) -> out: (Bt, rl*n, n*rr)
+    out_ref[:] = jax.lax.dot_general(
+        a_ref[:], b_ref[:], (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
+def two_site_merge(a, b, block_b: int = 32, interpret: bool = False):
+    """Batched two-site merge ``C[B, rl*n, n*rr] = A[B, rl*n, rm] @
+    B[B, rm, n*rr]`` as a Pallas kernel with the batch tiled over the grid.
+
+    The merge is the common first step of two-site solves, TDVP2 sweeps, and
+    TT rounding (reference hot spots: /root/reference/src/tt_operations.jl:101,
+    /root/reference/src/solvers/mals.jl:148).
+    """
+    B, m, k = a.shape
+    _, _, n = b.shape
+    grid = (pl.cdiv(B, block_b),)
+    return pl.pallas_call(
+        _merge_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_b, m, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+            pl.BlockSpec((block_b, k, n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_b, m, n), lambda i: (i, 0, 0),
+                               memory_space=pltpu.ANY if interpret
+                               else pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, m, n), jnp.float32),
+        interpret=interpret,
+    )(a, b)
+
+
+def _chain_kernel(a_ref, b_ref, w_ref, out_ref, *, iters: int):
+    # acc: (Bt, rn, r); b: (Bt, r, nr); w: (Bt, nr, r)
+    # Chain merge + re-split entirely in VMEM/registers.
+    def body(_, acc):
+        c = jax.lax.dot_general(
+            acc, b_ref[:], (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        nxt = jax.lax.dot_general(
+            c.astype(b_ref.dtype), w_ref[:], (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        # cheap bound: scale by a constant estimated from one row
+        scale = jax.lax.rsqrt(jnp.mean(nxt[0, :1, :] * nxt[0, :1, :]) + 1e-6)
+        return (nxt * scale).astype(a_ref.dtype)
+
+    out_ref[:] = jax.lax.fori_loop(0, iters, body, a_ref[:])
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("iters", "block_b", "interpret"))
+def merge_resplit_chain(a, b, w, iters: int = 8, block_b: int = 32,
+                        interpret: bool = False):
+    """``iters`` rounds of (merge, re-split, rescale) with all intermediates
+    resident in VMEM — the fused version of bench.py's chained contraction.
+    ``a: (B, r*n, r)``, ``b: (B, r, n*r)``, ``w: (B, n*r, r)``.
+    """
+    B, rn, r = a.shape
+    _, _, nr = b.shape
+    grid = (pl.cdiv(B, block_b),)
+    kernel = functools.partial(_chain_kernel, iters=iters)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_b, rn, r), lambda i: (i, 0, 0),
+                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+            pl.BlockSpec((block_b, r, nr), lambda i: (i, 0, 0),
+                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+            pl.BlockSpec((block_b, nr, r), lambda i: (i, 0, 0),
+                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_b, rn, r), lambda i: (i, 0, 0),
+                               memory_space=pltpu.ANY if interpret
+                               else pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, rn, r), a.dtype),
+        interpret=interpret,
+    )(a, b, w)

@@ -449,6 +449,34 @@ class QTTVector(TTVector):
     def copy(self):
         return self._rewrap(self.tt())
 
+    # metadata-preserving forwards (reference's ~35 dispatch forwards,
+    # /root/reference/src/qtt_tools.jl:530-647)
+    def hadamard(self, other):
+        check_compat(self, other)
+        o = other.tt() if isinstance(other, QTTVector) else other
+        return self._rewrap(algebra.hadamard(self.tt(), o))
+
+    def orthogonalize(self, i: int = 0):
+        from ttnx.core.canonical import orthogonalize as _orth
+
+        return self._rewrap(_orth(self.tt(), i))
+
+    def compress(self, max_bond: int, **kwargs):
+        from ttnx.core.canonical import tt_compress as _compress
+
+        return self._rewrap(_compress(self.tt(), max_bond, **kwargs))
+
+    def increase_ranks(self, max_bond: int, **kwargs):
+        from ttnx.core.tt import increase_ranks as _inc
+
+        return self._rewrap(_inc(self.tt(), max_bond, **kwargs))
+
+    def entanglement_entropy(self, base=None):
+        from ttnx.core.canonical import entanglement_entropy as _ee
+        import math as _math
+
+        return _ee(self.tt(), base if base is not None else _math.e)
+
     def __repr__(self):
         return (
             f"QTTVector(dtype={self.dtype}, {self.n_dims}d x "
