@@ -57,14 +57,16 @@ def bench_rank64_contraction():
     r = 64
     n = 2
     batch = 4096
-    iters = 256  # keep device time >> the ~25ms RPC sync round trip
+    iters = 128  # keep device time >> the ~25ms RPC sync round trip
     rng = np.random.default_rng(0)
     a = jnp.asarray(rng.standard_normal((batch, r * n, r)) * 0.1,
                     dtype=jnp.bfloat16)
-    b = jnp.asarray(rng.standard_normal((batch, r, n * r)) * 0.1,
-                    dtype=jnp.bfloat16)
-    w = jnp.asarray(rng.standard_normal((batch, n * r, r)) * 0.1,
-                    dtype=jnp.bfloat16)
+    # orthonormal chain factors: merges/re-splits are norm-stable, so the
+    # chain needs no normalization (pure matmuls, nothing elidable)
+    b_host = np.linalg.qr(rng.standard_normal((batch, n * r, r)))[0]
+    b = jnp.asarray(np.swapaxes(b_host, 1, 2), dtype=jnp.bfloat16)  # (B, r, nr)
+    w = jnp.asarray(np.linalg.qr(rng.standard_normal((batch, n * r, r)))[0],
+                    dtype=jnp.bfloat16)                              # (B, nr, r)
 
     def merge(x, y):
         return jax.lax.dot_general(
@@ -76,11 +78,7 @@ def bench_rank64_contraction():
         def body(_, acc):
             c = merge(acc, b)                      # (B, r*n, n*r) merge
             nxt = merge(c, w)                       # re-split back to (B, r*n, r)
-            # keep magnitudes bounded; sample a small slice so the reduction
-            # doesn't become an HBM-bandwidth-bound full pass over the tensor
-            scale = jax.lax.rsqrt(jnp.mean(nxt[:32] * nxt[:32]) + 1e-6)
-            nxt = (nxt * scale).astype(jnp.bfloat16)
-            return nxt
+            return nxt.astype(jnp.bfloat16)
         return jax.lax.fori_loop(0, iters, body, a)
 
     dt_total = _time_fn(chained, a, b, w, warmup=1, iters=2)
@@ -88,6 +86,42 @@ def bench_rank64_contraction():
                       + 2.0 * batch * (r * n) * (n * r) * r)       # re-split
     gflops = flops_per_iter * iters / dt_total / 1e9
     return gflops, dt_total / iters
+
+
+def bench_pallas_chain():
+    """Same chained contraction through the fused Pallas kernel
+    (ttnx.kernels.contraction.merge_resplit_chain): VMEM-resident
+    intermediates instead of per-op HBM round trips."""
+    from ttnx.kernels.contraction import merge_resplit_chain
+
+    r, n, batch, iters = 64, 2, 4096, 128
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.standard_normal((batch, r * n, r)) * 0.1,
+                    dtype=jnp.bfloat16)
+    b_host = np.linalg.qr(rng.standard_normal((batch, n * r, r)))[0]
+    b = jnp.asarray(np.swapaxes(b_host, 1, 2), dtype=jnp.bfloat16)
+    w = jnp.asarray(np.linalg.qr(rng.standard_normal((batch, n * r, r)))[0],
+                    dtype=jnp.bfloat16)
+    fn = lambda a, b, w: merge_resplit_chain(a, b, w, iters=iters, block_b=32)
+    dt_total = _time_fn(fn, a, b, w, warmup=1, iters=2)
+    flops = 2 * (2.0 * batch * (r * n) * r * (n * r)) * iters
+    return flops / dt_total / 1e9
+
+
+def bench_batched_solves():
+    """Batched scan-ALS throughput (solves/s) on one chip — the
+    continuous-batching workload of BASELINE's scaling metric."""
+    import __graft_entry__
+    from ttnx.parallel.batch import batched_als_sweeps
+
+    A_stack, b_stack, x_stack, masks = __graft_entry__._heat_problem(
+        d=10, rmax=8, dtype=jnp.float32)
+    batch = 64
+    b_batch = jnp.broadcast_to(b_stack, (batch,) + b_stack.shape)
+    x_batch = jnp.broadcast_to(x_stack, (batch,) + x_stack.shape)
+    fn = jax.jit(lambda bb, xb: batched_als_sweeps(A_stack, bb, xb, masks, 2))
+    dt = _time_fn(fn, b_batch, x_batch, warmup=1, iters=3)
+    return batch / dt
 
 
 def bench_als_sweep_d12():
@@ -107,8 +141,18 @@ def main():
     extras = {}
     gflops, dt_contract = bench_rank64_contraction()
     extras["contract_us"] = round(dt_contract * 1e6, 2)
-    # the full d=12 sweep adds a multi-minute compile over the remote-TPU
-    # tunnel; opt in with BENCH_ALS=1
+    # each extra section adds a multi-minute compile over the remote-TPU
+    # tunnel; opt in individually
+    if os.environ.get("BENCH_PALLAS") == "1":
+        try:
+            extras["pallas_chain_gflops"] = round(bench_pallas_chain(), 1)
+        except Exception as e:
+            extras["pallas_error"] = str(e)[:200]
+    if os.environ.get("BENCH_SOLVES") == "1":
+        try:
+            extras["batched_solves_per_s"] = round(bench_batched_solves(), 2)
+        except Exception as e:
+            extras["solves_error"] = str(e)[:200]
     if os.environ.get("BENCH_ALS") == "1":
         try:
             extras["als_sweep_d12_ms"] = round(bench_als_sweep_d12(), 3)

@@ -172,4 +172,11 @@ from ttnx.utils.convert import (  # noqa: E402
 )
 from ttnx.utils.checkpoint import save_tt, load_tt  # noqa: E402
 
+# reference-name aliases
+from ttnx.cross.cross import DMRG  # noqa: E402  (the cross algorithm config)
+from ttnx.ops.operators import Δ, Δ_DN, Δ_ND, Δ_NN, Δ_P  # noqa: E402
+
+AbstractTTvector = TTVector
+AbstractTToperator = TTOperator
+
 __version__ = "0.1.0"
