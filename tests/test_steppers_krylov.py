@@ -215,6 +215,28 @@ class TestSteppers:
         # is measured with converged sweeps in bench.py
         assert rel < 1e-9
 
+    def test_heat_equation_d12_parity_1e12(self, key):
+        # BASELINE headline: d=12 heat equation, rel err <= 1e-12 at equal
+        # max TT-rank. The sine eigenmode stays rank 2; ALS at rank 4 with
+        # converged sweeps solves each CN step to machine precision.
+        d = 12
+        n = 2 ** d
+        h_grid = 1.0 / (n + 1)
+        A = (1.0 / h_grid ** 2) * toeplitz_to_qtto(-2.0, 1.0, 1.0, d)
+        u0 = qtt_sin(d, a=h_grid, b=1 - h_grid)
+        lam = -4.0 / h_grid ** 2 * np.sin(np.pi * h_grid / 2) ** 2
+        dt = 1e-9
+        n_steps = 3
+        guess = rand_tt(key, (2,) * d, rmax=4, normalise=True)
+        u = crank_nicholson_method(A, u0, guess, [dt] * n_steps,
+                                   normalize=False, tt_solver="als",
+                                   sweep_count=8)
+        g = (1 + dt * lam / 2) / (1 - dt * lam / 2)
+        expect = g ** n_steps * vec(u0)
+        rel = np.linalg.norm(vec(u) - expect) / np.linalg.norm(expect)
+        assert rel < 1e-12
+        assert max(u.ranks) <= 4
+
     def test_return_error(self, key):
         A, u0 = heat_setup(d=5, kappa=1e-4)
         guess = rand_tt(key, (2,) * 5, rmax=4, normalise=True)
