@@ -76,6 +76,32 @@ class TestScanALS:
         assert rel < 1e-10
 
 
+class TestScanEigsolve:
+    def test_heisenberg_ground_state(self, key):
+        from ttnx import heisenberg_xyz_tto, qtto_to_matrix
+        from ttnx.solvers.als_scan import als_eigsolve_scan
+
+        d = 6
+        H = heisenberg_xyz_tto(d)
+        x0 = rand_tt(key, (2,) * d, rmax=8, normalise=True, orthogonal=True)
+        E, x = als_eigsolve_scan(H, x0, n_sweeps=6)
+        w = np.linalg.eigvalsh(np.asarray(qtto_to_matrix(H)))
+        assert abs(E[-1] - w[0]) < 1e-6
+        # variational: eigenvalue history bounded below by the true minimum
+        assert all(e >= w[0] - 1e-10 for e in E)
+
+    def test_energy_history_length(self, key):
+        from ttnx import laplacian
+        from ttnx.solvers.als_scan import als_eigsolve_scan
+
+        d = 5
+        A = laplacian(d)
+        x0 = rand_tt(key, (2,) * d, rmax=4, normalise=True, orthogonal=True)
+        E, x = als_eigsolve_scan(A, x0, n_sweeps=3)
+        # (d-1) microsteps per half sweep, 2 half sweeps per sweep
+        assert len(E) == 3 * 2 * (d - 1)
+
+
 class TestParallel:
     def test_mesh_shapes(self):
         mesh = make_mesh(dp=4, tp=2)

@@ -40,6 +40,8 @@ __all__ = [
     "rank_masks",
     "als_sweeps",
     "als_linsolve_scan",
+    "als_eigsolve_sweeps",
+    "als_eigsolve_scan",
 ]
 
 
@@ -255,6 +257,143 @@ def als_sweeps(A_stack, b_stack, x_stack, masks, sweep_count: int = 2):
         x = _backward_half_sweep(x, A_stack, b_stack, Lenvs, Lb_envs, masks)
         half += 1
     return x
+
+
+def _local_eig_padded(L, Ac, Renv, m_l, m_r):
+    """Smallest eigenpair of the masked local operator. Padded directions get
+    a diagonal just above the spectral range — a huge constant (1e12) would
+    cost ~|pad|*eps of eigh accuracy and break the variational bound."""
+    R = L.shape[0]
+    n = Ac.shape[1]
+    M = R * n * R
+    K = jnp.einsum("aWb,WiJw,cwd->aicbJd", L, Ac, Renv,
+                   optimize=True).reshape(M, M)
+    maskv = (m_l[:, None, None] * m_r[None, None, :]
+             * jnp.ones((1, n, 1), dtype=m_l.dtype)).reshape(M)
+    Km = K * maskv[:, None] * maskv[None, :]
+    pad = jnp.linalg.norm(Km) + 1.0  # > lambda_max of the active block
+    K = Km + jnp.diag(pad * (1.0 - maskv))
+    K = 0.5 * (K + K.conj().T)
+    w, U = jnp.linalg.eigh(K)
+    return w[0], U[:, 0].reshape(R, n, R)
+
+
+def _forward_eig_half_sweep(x, A, Renvs, masks):
+    d, R, n, _ = x.shape
+    dt = x.dtype
+    RA = A.shape[1]
+    L0 = _boundary_env(R, RA, dt)
+    T0 = jnp.zeros((R, R), dtype=dt).at[0, 0].set(1.0)
+
+    def step(carry, inp):
+        L, _T = carry
+        Ac, Renv, m_l, m_r = inp
+        lam, V = _local_eig_padded(L, Ac, Renv, m_l, m_r)
+        q, r = jnp.linalg.qr(V.reshape(R * n, R))
+        q = q * m_r[None, :]
+        r = r * m_r[:, None]
+        core = q.reshape(R, n, R)
+        L_new = jnp.einsum("aic,aWb,Wijw,bjd->cwd", jnp.conj(core), L, Ac,
+                           core, optimize=True)
+        return (L_new, r), (core, lam)
+
+    inputs = (A[:-1], Renvs[1:d], masks[:-2], masks[1:-1])
+    (L, T), (new_cores, lams) = lax.scan(step, (L0, T0), inputs)
+    last = jnp.einsum("ab,bnc->anc", T, x[d - 1])
+    return jnp.concatenate([new_cores, last[None]], axis=0), lams
+
+
+def _backward_eig_half_sweep(x, A, Lenvs, masks):
+    d, R, n, _ = x.shape
+    dt = x.dtype
+    RA = A.shape[1]
+    R0 = _boundary_env(R, RA, dt)
+    T0 = jnp.zeros((R, R), dtype=dt).at[0, 0].set(1.0)
+
+    def step(carry, inp):
+        Renv, _T = carry
+        Ac, Lenv, m_l, m_r = inp
+        lam, V = _local_eig_padded(Lenv, Ac, Renv, m_l, m_r)
+        qt, rt = jnp.linalg.qr(V.reshape(R, n * R).T)
+        core = qt.T.reshape(R, n, R) * m_l[:, None, None]
+        t = rt.T * m_l[None, :]
+        R_new = jnp.einsum("aip,Wijw,bjq,pwq->aWb", jnp.conj(core), Ac, core,
+                           Renv, optimize=True)
+        return (R_new, t), (core, lam)
+
+    inputs = (A[1:], Lenvs[1:d], masks[1:-1], masks[2:])
+    (Renv, T), (new_cores, lams) = lax.scan(step, (R0, T0), inputs,
+                                            reverse=True)
+    first = jnp.einsum("anb,bc->anc", x[0], T)
+    return jnp.concatenate([first[None], new_cores], axis=0), lams
+
+
+def _right_env_stack_A(x, A, mask_r):
+    d, R, n, _ = x.shape
+    RA = A.shape[1]
+    dt = x.dtype
+    init = _boundary_env(R, RA, dt)
+
+    def step(carry, inp):
+        xc, Ac, mr = inp
+        xc = xc * mr[None, None, :]
+        new = jnp.einsum("aip,Wijw,bjq,pwq->aWb", jnp.conj(xc), Ac, xc, carry,
+                         optimize=True)
+        return new, new
+
+    _, envs = lax.scan(step, init, (x, A, mask_r), reverse=True)
+    return jnp.concatenate([envs, init[None]], axis=0)
+
+
+def _left_env_stack_A(x, A, mask_r):
+    d, R, n, _ = x.shape
+    RA = A.shape[1]
+    dt = x.dtype
+    init = _boundary_env(R, RA, dt)
+
+    def step(carry, inp):
+        xc, Ac, mr = inp
+        xc = xc * mr[None, None, :]
+        new = jnp.einsum("aic,aWb,Wijw,bjd->cwd", jnp.conj(xc), carry, Ac, xc,
+                         optimize=True)
+        return new, new
+
+    _, envs = lax.scan(step, init, (x, A, mask_r))
+    return jnp.concatenate([init[None], envs], axis=0)
+
+
+@partial(jax.jit, static_argnames=("n_sweeps",))
+def als_eigsolve_sweeps(A_stack, x_stack, masks, n_sweeps: int = 2):
+    """Jitted fixed-rank ALS eigensolver: ``n_sweeps`` full (forward +
+    backward) sweeps; returns ``(x_stack, energies)`` with the per-microstep
+    eigenvalue history (scan outputs replacing the reference's push!,
+    /root/reference/src/solvers/als.jl:305,315)."""
+    x = x_stack
+    all_lams = []
+    for _ in range(n_sweeps):
+        Renvs = _right_env_stack_A(x, A_stack, masks[1:])
+        x, lams_f = _forward_eig_half_sweep(x, A_stack, Renvs, masks)
+        Lenvs = _left_env_stack_A(x, A_stack, masks[1:])
+        x, lams_b = _backward_eig_half_sweep(x, A_stack, Lenvs, masks)
+        all_lams.append(jnp.concatenate([lams_f, lams_b[::-1]]))
+    return x, jnp.concatenate(all_lams)
+
+
+def als_eigsolve_scan(A: TTOperator, x0: TTVector, n_sweeps: int = 2,
+                      rmax: int | None = None):
+    """Drop-in jitted fixed-rank ALS eigensolve; returns ``(E, x)`` like the
+    eager :func:`ttnx.solvers.als.als_eigsolve` (single rank stage)."""
+    x = orthogonalize(x0, 0)
+    rks = x.ranks
+    if rmax is None:
+        rmax = max(max(rks), 2)
+    dt = jnp.result_type(A.dtype, x.dtype)
+    A_stack = pack_op(A.astype(dt), max(A.ranks))
+    x_stack = pack_tt(x.astype(dt), rmax)
+    real_dt = jnp.zeros((), dt).real.dtype
+    masks = rank_masks(rks, rmax, dtype=real_dt)
+    out, lams = als_eigsolve_sweeps(A_stack, x_stack, masks, n_sweeps)
+    return np.asarray(jnp.real(lams)), unpack_tt(out, rks)
 
 
 def als_linsolve_scan(A: TTOperator, b: TTVector, x0: TTVector,
