@@ -1,0 +1,120 @@
+"""Jitted contraction+rounding pipeline and the fully-jitted CN step."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ttnx import id_tto, qtt_sin, rand_tt, toeplitz_to_qtto, ttv_to_tensor
+from ttnx.core.algebra import add_op, matvec, scale_op
+from ttnx.core.canonical import orthogonalize, tt_round
+from ttnx.core.tt import r_and_d_to_rks
+from ttnx.solvers.als_scan import pack_op, pack_tt, rank_masks
+from ttnx.solvers.round_scan import (
+    make_cn_step,
+    matvec_padded,
+    round_masks,
+    tt_round_scan,
+)
+
+
+def vec(tt):
+    return np.asarray(ttv_to_tensor(tt)).reshape(-1)
+
+
+def padded_to_vec(stack):
+    p = stack[0][0:1].reshape(2, -1)
+    for k in range(1, stack.shape[0]):
+        r = stack.shape[1]
+        p = (p @ stack[k].reshape(r, -1)).reshape(-1, r)
+    return np.asarray(p[:, 0])
+
+
+def _setup(d=5, rmax=4):
+    A = add_op(id_tto(d), scale_op(0.1, toeplitz_to_qtto(-2.0, 1.0, 1.0, d)))
+    u = orthogonalize(qtt_sin(d), 0)
+    RA = max(A.ranks)
+    dims = (2,) * d
+    u_rks = r_and_d_to_rks((1,) + (rmax,) * (d - 1) + (1,), dims, rmax=rmax)
+    masks_u = rank_masks(u_rks, rmax)
+    masks_A = np.zeros((d + 1, RA))
+    for i, r in enumerate(A.ranks):
+        masks_A[i, :r] = 1.0
+    mu = np.asarray(masks_u)
+    masks_big = jnp.asarray(np.stack(
+        [np.outer(masks_A[i], mu[i]).reshape(-1) for i in range(d + 1)]))
+    return A, u, RA, dims, u_rks, masks_big
+
+
+class TestMatvecPadded:
+    def test_matches_eager_matvec(self):
+        A, u, RA, dims, u_rks, _ = _setup()
+        big = matvec_padded(pack_op(A, RA), pack_tt(u, 4))
+        ref = vec(matvec(A, u))
+        assert np.allclose(padded_to_vec(big), ref, atol=1e-12)
+
+
+class TestRoundScan:
+    def test_matches_eager_round(self):
+        A, u, RA, dims, u_rks, masks_big = _setup()
+        rmax = 4
+        big = matvec_padded(pack_op(A, RA), pack_tt(u, rmax))
+        big_rks = [min(a * b, RA * rmax) for a, b in zip(A.ranks, u_rks)]
+        out_rks = round_masks(big_rks, rmax, dims)
+        rounded = tt_round_scan(big, masks_big, rmax, rank_masks(out_rks, rmax))
+        ref = vec(tt_round(matvec(A, u), max_bond=rmax))
+        assert np.allclose(padded_to_vec(rounded), ref, atol=1e-10)
+
+    def test_padding_stays_clean(self):
+        A, u, RA, dims, u_rks, masks_big = _setup()
+        rmax = 4
+        big = matvec_padded(pack_op(A, RA), pack_tt(u, rmax))
+        big_rks = [min(a * b, RA * rmax) for a, b in zip(A.ranks, u_rks)]
+        out_rks = round_masks(big_rks, rmax, dims)
+        rounded = np.asarray(
+            tt_round_scan(big, masks_big, rmax, rank_masks(out_rks, rmax)))
+        for k in range(len(dims)):
+            rl, rr = out_rks[k], out_rks[k + 1]
+            assert np.all(rounded[k, rl:, :, :] == 0)
+            assert np.all(rounded[k, :, :, rr:] == 0)
+
+
+class TestJittedCN:
+    @pytest.mark.parametrize("d", [8, 12])
+    def test_heat_equation_machine_precision(self, d):
+        n = 2 ** d
+        hg = 1.0 / (n + 1)
+        A = (1.0 / hg ** 2) * toeplitz_to_qtto(-2.0, 1.0, 1.0, d)
+        u0 = qtt_sin(d, a=hg, b=1 - hg)
+        dt = 1e-8
+        lam = -4.0 / hg ** 2 * np.sin(np.pi * hg / 2) ** 2
+        step, pack, unpack = make_cn_step(
+            A, dt, rmax=4, dims=(2,) * d,
+            u_rks=(1,) + (4,) * (d - 1) + (1,), sweep_count=6)
+        u = pack(u0)
+        n_steps = 3
+        for _ in range(n_steps):
+            u = step(u)
+        out = unpack(u)
+        g = (1 + dt * lam / 2) / (1 - dt * lam / 2)
+        expect = g ** n_steps * vec(u0)
+        rel = np.linalg.norm(vec(out) - expect) / np.linalg.norm(expect)
+        # BASELINE config-2 target is 1e-12; the jitted pipeline reaches ~1e-15
+        assert rel < 1e-12
+
+    def test_single_compiled_program(self):
+        # repeated steps reuse the compiled cn_step (no retracing)
+        from ttnx.solvers.round_scan import cn_step
+
+        d = 6
+        A = toeplitz_to_qtto(-2.0, 1.0, 1.0, d)
+        step, pack, unpack = make_cn_step(
+            A, 1e-6, rmax=4, dims=(2,) * d,
+            u_rks=(1,) + (4,) * (d - 1) + (1,))
+        u = pack(qtt_sin(d))
+        n0 = cn_step._cache_size()
+        u = step(u)
+        n1 = cn_step._cache_size()
+        u = step(u)
+        assert cn_step._cache_size() == n1 > n0

@@ -144,7 +144,11 @@ def _local_solve_padded(L, Ac, Renv, Lb, bc, Rb_env, m_l, m_r):
                    optimize=True).reshape(M, M)
     maskv = (m_l[:, None, None] * m_r[None, None, :]
              * jnp.ones((1, n, 1), dtype=m_l.dtype)).reshape(M)
-    K = K * maskv[:, None] * maskv[None, :] + jnp.diag(1.0 - maskv)
+    # identity on padded diagonal; a tiny ridge on the active diagonal keeps
+    # the solve finite when the state is rank-deficient relative to its mask
+    # (zero environment directions -> zero rows with zero rhs -> zero output)
+    K = (K * maskv[:, None] * maskv[None, :] + jnp.diag(1.0 - maskv)
+         + 1e-100 * jnp.diag(maskv))
     rhs = jnp.einsum("au,uiv,cv->aic", Lb, bc, Rb_env,
                      optimize=True).reshape(M) * maskv
     V = jnp.linalg.solve(K, rhs)

@@ -1,0 +1,174 @@
+"""Jitted padded-rank MPO application + TT rounding — the fused
+"contraction + rounding" pipeline of the north star, plus a fully-jitted
+Crank–Nicolson heat step built from it.
+
+All shapes static: the MPO application blows the padded rank up to
+``RA * R`` in one batched einsum, and the rounding scan truncates back to a
+fixed target ``R_out``. Together with :func:`ttnx.solvers.als_scan.als_sweeps`
+this makes one time step of the d=12 heat equation (BASELINE config 2) a
+single compiled XLA program.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ttnx.core.tt import r_and_d_to_rks
+from ttnx.solvers.als_scan import als_sweeps, rank_masks
+
+__all__ = ["matvec_padded", "tt_round_scan", "cn_step", "make_cn_step"]
+
+
+def matvec_padded(A_stack, x_stack):
+    """Padded MPO·MPS: ``y[d, RA*R, n, RA*R]`` from ``A[d, RA, n, n, RA]`` and
+    ``x[d, R, n, R]`` — one batched einsum over the site axis (the reference's
+    hot kernel, /root/reference/src/tt_operations.jl:101-111)."""
+    d, RA, n, _, _ = A_stack.shape
+    R = x_stack.shape[1]
+    y = jnp.einsum("kaijb,kcjd->kacibd", A_stack, x_stack, optimize=True)
+    return y.reshape(d, RA * R, n, RA * R)
+
+
+def _right_orth_scan(y, masks_r):
+    """Right-orthogonalize the padded chain (masked LQ sweep); returns new
+    stack with site 0 holding the center."""
+    d, R, n, _ = y.shape
+
+    def step(carry, inp):
+        T, = carry
+        core, m_l = inp
+        c = jnp.einsum("anb,bc->anc", core, T)
+        qt, rt = jnp.linalg.qr(c.reshape(R, n * R).T)
+        q = qt.T.reshape(R, n, R) * m_l[:, None, None]
+        t = rt.T * m_l[None, :]
+        return (t,), q
+
+    T0 = jnp.zeros((R, R), dtype=y.dtype).at[0, 0].set(1.0)
+    # process sites d-1 .. 1; site 0 absorbs the final transfer
+    (T,), cores = lax.scan(step, (T0,), (y[1:], masks_r[:-1][1:d]),
+                           reverse=True)
+    first = jnp.einsum("anb,bc->anc", y[0], T)
+    return jnp.concatenate([first[None], cores], axis=0)
+
+
+def tt_round_scan(y, masks_y, R_out: int, masks_out):
+    """Truncate a padded chain to buffer rank ``R_out``: right-orthogonalize,
+    then a left-to-right masked-SVD scan keeping the top ``R_out`` singular
+    directions per bond (jitted analog of :func:`ttnx.core.canonical.tt_round`).
+
+    ``masks_y [d+1, R]`` bounds the input ranks; ``masks_out [d+1, R_out]``
+    the (feasibility-clamped) output ranks.
+    """
+    d, R, n, _ = y.shape
+    y = _right_orth_scan(y, masks_y)
+
+    def step(carry, inp):
+        T, = carry  # (R_out, R) transfer into this site
+        core, m_r_out = inp
+        c = jnp.einsum("ab,bnc->anc", T, core)        # (R_out, n, R)
+        u, s, vt = jnp.linalg.svd(c.reshape(R_out * n, R),
+                                  full_matrices=False)
+        k = min(R_out, R)
+        u_k = u[:, :k] * m_r_out[None, :k]
+        pad = jnp.zeros((R_out * n, R_out - k), dtype=u.dtype)
+        new_core = jnp.concatenate([u_k, pad], axis=1).reshape(
+            R_out, n, R_out)
+        t_k = (s[:k, None] * vt[:k, :]) * m_r_out[:k, None]
+        T_new = jnp.concatenate(
+            [t_k, jnp.zeros((R_out - k, R), dtype=u.dtype)], axis=0)
+        return (T_new,), new_core
+
+    T0 = jnp.zeros((R_out, R), dtype=y.dtype).at[0, 0].set(1.0)
+    (T,), cores = lax.scan(step, (T0,), (y[:-1], masks_out[1:d]))
+    # last site absorbs the remaining transfer; pad its right rank to R_out
+    last = jnp.einsum("ab,bnc->anc", T, y[d - 1])      # (R_out, n, R)
+    last = last[:, :, :1]                              # boundary rank is 1
+    last = jnp.pad(last, ((0, 0), (0, 0), (0, R_out - 1)))
+    return jnp.concatenate([cores, last[None]], axis=0)
+
+
+def round_masks(in_rks, R_out: int, dims):
+    """Output rank vector for rounding to cap ``R_out`` (host-side)."""
+    rks = [min(r, R_out) for r in in_rks]
+    return r_and_d_to_rks(rks, dims, rmax=R_out)
+
+
+@partial(jax.jit, static_argnames=("sweep_count",))
+def cn_step(lhs_stack, rhs_stack, u_stack, guess_noise, masks_u,
+            masks_rhs_big, masks_u_out, sweep_count: int = 4):
+    """One Crank–Nicolson step as a single compiled program:
+    ``u <- ALS-solve(lhs, round(rhs_op @ u))`` (reference stepper:
+    /root/reference/src/solvers/euler.jl:145-191).
+
+    ``guess_noise`` (masked, ~1e-3 of the state scale) is added to the ALS
+    *guess only*: a rank-deficient state makes the ALS environments singular
+    and locks the rank; the converged ALS solution is guess-independent, so
+    the noise never reaches the output while the RHS stays exact.
+    """
+    R_out = u_stack.shape[1]
+    big = matvec_padded(rhs_stack, u_stack)
+    b = tt_round_scan(big, masks_rhs_big, R_out, masks_u_out)
+    guess = u_stack + guess_noise
+    return als_sweeps(lhs_stack, b, guess, masks_u, sweep_count)
+
+
+def make_cn_step(A, h: float, rmax: int, dims, u_rks, dtype=jnp.float64,
+                 sweep_count: int = 4):
+    """Host-side setup for :func:`cn_step` on ``du/dt = A u``: packs
+    ``I -/+ h/2 A`` and builds all masks. Returns ``(step_fn, pack, unpack)``.
+    """
+    from ttnx.core.algebra import add_op, scale_op
+    from ttnx.core.tt import TTOperator, TTVector, id_tto
+    from ttnx.solvers.als_scan import pack_op, pack_tt, unpack_tt
+
+    d = len(dims)
+    eye = id_tto(d, dtype=dtype)
+    lhs = add_op(eye, scale_op(-h / 2, A)).astype(dtype)
+    rhs = add_op(eye, scale_op(h / 2, A)).astype(dtype)
+    RA = max(rhs.ranks)
+    lhs_stack = pack_op(lhs, max(lhs.ranks))
+    rhs_stack = pack_op(rhs, RA)
+
+    u_rks = r_and_d_to_rks(u_rks, dims, rmax=rmax)
+    real_dt = jnp.zeros((), dtype).real.dtype
+    masks_u = rank_masks(u_rks, rmax, dtype=real_dt)
+    # the applied chain's active positions are the Kronecker pattern
+    # {a*R + c : a < rA, c < rx} — a SCATTERED set, not a prefix, so its
+    # masks are outer products of the factor masks
+    masks_A = np.zeros((d + 1, RA))
+    for i, r in enumerate(rhs.ranks):
+        masks_A[i, :r] = 1.0
+    masks_u_np = np.asarray(masks_u)
+    masks_big = jnp.asarray(np.stack(
+        [np.outer(masks_A[i], masks_u_np[i]).reshape(-1)
+         for i in range(d + 1)]), dtype=real_dt)
+    big_rks = [min(a * b, RA * rmax) for a, b in zip(rhs.ranks, u_rks)]
+    out_rks = round_masks(big_rks, rmax, dims)
+    masks_out = rank_masks(out_rks, rmax, dtype=real_dt)
+
+    # masked guess-noise stack (zero outside the u_rks rank profile)
+    rng = np.random.default_rng(0)
+    noise_np = np.zeros((d, rmax, 2, rmax))
+    for i in range(d):
+        noise_np[i, : u_rks[i], :, : u_rks[i + 1]] = 1e-3 * rng.standard_normal(
+            (u_rks[i], 2, u_rks[i + 1]))
+    guess_noise = jnp.asarray(noise_np, dtype=dtype)
+
+    def step_fn(u_stack):
+        return cn_step(lhs_stack, rhs_stack, u_stack, guess_noise, masks_u,
+                       masks_big, masks_out, sweep_count)
+
+    def pack(u):
+        from ttnx.core.canonical import tt_round
+
+        if max(u.ranks) > rmax:  # avoid eager SVD sweeps when already feasible
+            u = tt_round(u, max_bond=rmax)
+        return pack_tt(u.astype(dtype), rmax)
+
+    unpack = lambda s: unpack_tt(s, u_rks)
+    return step_fn, pack, unpack
