@@ -124,6 +124,17 @@ def bench_batched_solves():
     return batch / dt
 
 
+def bench_cn_step_d12():
+    """One fully-jitted Crank–Nicolson step (matvec + rounding + ALS solve)
+    on the d=12 heat problem, f32, rmax=16 — BASELINE's 'd=12 QTT ALS sweep'
+    metric measured on its production pipeline."""
+    import __graft_entry__
+
+    fn, args = __graft_entry__.entry()
+    dt = _time_fn(fn, *args, warmup=1, iters=5)
+    return dt * 1e3  # ms
+
+
 def bench_als_sweep_d12():
     """One full jitted scan-ALS sweep pass (fwd+bwd) on the d=12 QTT heat
     problem, f32, rmax=16."""
@@ -153,6 +164,11 @@ def main():
             extras["batched_solves_per_s"] = round(bench_batched_solves(), 2)
         except Exception as e:
             extras["solves_error"] = str(e)[:200]
+    if os.environ.get("BENCH_HEAT") == "1":
+        try:
+            extras["cn_step_d12_ms"] = round(bench_cn_step_d12(), 3)
+        except Exception as e:
+            extras["cn_step_error"] = str(e)[:200]
     if os.environ.get("BENCH_ALS") == "1":
         try:
             extras["als_sweep_d12_ms"] = round(bench_als_sweep_d12(), 3)
