@@ -29,18 +29,18 @@ def test_two_site_merge_tt_shapes(rng):
 def test_merge_resplit_chain_matches_reference_loop(rng):
     B, r, n = 4, 8, 2
     a = jnp.asarray(0.1 * rng.standard_normal((B, r * n, r)), dtype=jnp.float32)
-    b = jnp.asarray(0.1 * rng.standard_normal((B, r, n * r)), dtype=jnp.float32)
-    w = jnp.asarray(0.1 * rng.standard_normal((B, n * r, r)), dtype=jnp.float32)
+    # orthonormal factors keep the normalization-free chain bounded
+    b = jnp.asarray(np.swapaxes(
+        np.linalg.qr(rng.standard_normal((B, n * r, r)))[0], 1, 2),
+        dtype=jnp.float32)
+    w = jnp.asarray(np.linalg.qr(rng.standard_normal((B, n * r, r)))[0],
+                    dtype=jnp.float32)
     iters = 3
     out = merge_resplit_chain(a, b, w, iters=iters, block_b=4, interpret=True)
 
-    # reference loop in plain numpy; note the scale samples the *block's*
-    # first item, so use one block (block_b >= B) for the comparison
     acc = np.asarray(a)
     bn, wn = np.asarray(b), np.asarray(w)
     for _ in range(iters):
         c = np.einsum("bmk,bkn->bmn", acc, bn)
-        nxt = np.einsum("bmn,bnk->bmk", c, wn)
-        scale = 1.0 / np.sqrt(np.mean(nxt[0, :1, :] ** 2) + 1e-6)
-        acc = (nxt * scale).astype(np.float32)
+        acc = np.einsum("bmn,bnk->bmk", c, wn).astype(np.float32)
     assert np.allclose(np.asarray(out), acc, atol=1e-4)
