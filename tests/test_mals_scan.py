@@ -62,6 +62,22 @@ def test_single_compiled_program(key):
     assert n1 <= n0 + 1
 
 
+def test_eigsolve_heisenberg(key):
+    from ttnx import heisenberg_xyz_tto
+    from ttnx.solvers.mals_scan import mals_eigsolve_scan
+
+    d = 6
+    H = heisenberg_xyz_tto(d)
+    x0 = rand_tt(key, (2,) * d, rmax=2, normalise=True, orthogonal=True)
+    E, x = mals_eigsolve_scan(H, x0, tol=1e-12, rmax=12, n_sweeps=4)
+    w = np.linalg.eigvalsh(np.asarray(qtto_to_matrix(H)))
+    assert abs(E[-1] - w[0]) < 1e-10
+    # ranks adapted beyond the rank-2 start
+    assert max(x.ranks) > 2
+    # variational bound holds for the whole history
+    assert all(e >= w[0] - 1e-9 for e in E)
+
+
 def test_tol_is_runtime_data(key):
     # changing tol must NOT retrace (it's a traced scalar)
     A, b, _, x0 = _system(key)

@@ -27,7 +27,8 @@ from ttnx.solvers.als_scan import (
     unpack_tt,
 )
 
-__all__ = ["mals_sweep", "mals_linsolve_scan"]
+__all__ = ["mals_sweep", "mals_linsolve_scan", "mals_eig_sweep",
+           "mals_eigsolve_scan"]
 
 
 def _keep_mask(s, tol, R):
@@ -169,6 +170,134 @@ def mals_sweep(A_stack, b_stack, x_stack, mask_stack, tol):
     masks_out = jnp.concatenate(
         [mask_stack[0][None], bwd_masks, mask_stack[d][None]], axis=0)
     return x_out, masks_out
+
+
+def _local2_eigmin(L, Ai, Aj, Renv, m_l, m_r):
+    """Smallest eigenpair of the masked two-site operator; padded directions
+    sit just above the spectral range (data-dependent pad — see
+    ttnx.solvers.als_scan._local_eig_padded)."""
+    R = L.shape[0]
+    n = Ai.shape[1]
+    M = R * n * n * R
+    K = jnp.einsum("aWb,WiIw,wjJv,cvd->aijcbIJd", L, Ai, Aj, Renv,
+                   optimize=True).reshape(M, M)
+    maskv = (m_l[:, None, None, None] * m_r[None, None, None, :]
+             * jnp.ones((1, n, n, 1), dtype=m_l.dtype)).reshape(M)
+    Km = K * maskv[:, None] * maskv[None, :]
+    pad = jnp.linalg.norm(Km) + 1.0
+    K = Km + jnp.diag(pad * (1.0 - maskv))
+    K = 0.5 * (K + K.conj().T)
+    w, U = jnp.linalg.eigh(K)
+    return w[0], U[:, 0].reshape(R, n, n, R)
+
+
+@partial(jax.jit, static_argnames=())
+def mals_eig_sweep(A_stack, x_stack, mask_stack, tol):
+    """One full rank-adaptive MALS eigsweep; returns
+    ``(x_stack, mask_stack, energies)``."""
+    d, R, n, _ = x_stack.shape
+    dt = x_stack.dtype
+    RA = A_stack.shape[1]
+
+    def right_envs(x, masks):
+        init = _boundary_env(R, RA, dt)
+
+        def step(carry, inp):
+            xc, Ac, mr = inp
+            xc = xc * mr[None, None, :]
+            new = jnp.einsum("aip,Wijw,bjq,pwq->aWb", jnp.conj(xc), Ac, xc,
+                             carry, optimize=True)
+            return new, new
+
+        _, envs = lax.scan(step, init, (x, A_stack, masks[1:]), reverse=True)
+        return jnp.concatenate([envs, init[None]], axis=0)
+
+    Renvs = right_envs(x_stack, mask_stack)
+
+    def fwd(carry, inp):
+        L, m_l, _last = carry
+        Ai, Aj, Renv, m_r = inp
+        lam, V = _local2_eigmin(L, Ai, Aj, Renv, m_l, m_r)
+        u, s, vt = jnp.linalg.svd(V.reshape(R * n, n * R),
+                                  full_matrices=False)
+        keep = _keep_mask(s, tol, R)[:R]
+        core = (u[:, :R] * keep[None, :]).reshape(R, n, R)
+        last = ((s[:R, None] * vt[:R, :]) * keep[:, None]).reshape(R, n, R)
+        L_new = jnp.einsum("aic,aWb,Wijw,bjd->cwd", jnp.conj(core), L, Ai,
+                           core, optimize=True)
+        return (L_new, keep, last), (core, keep, lam)
+
+    L0 = _boundary_env(R, RA, dt)
+    m0 = jnp.zeros((R,), dtype=mask_stack.dtype).at[0].set(1.0)
+    inputs = (A_stack[:-1], A_stack[1:], Renvs[2:], mask_stack[2:])
+    (L, _, last), (fwd_cores, fwd_masks, lams_f) = lax.scan(
+        fwd, (L0, m0, x_stack[d - 1]), inputs)
+    x_mid = jnp.concatenate([fwd_cores, last[None]], axis=0)
+    masks_mid = jnp.concatenate(
+        [mask_stack[0][None], fwd_masks, mask_stack[d][None]], axis=0)
+
+    def left_envs(x, masks):
+        init = _boundary_env(R, RA, dt)
+
+        def step(carry, inp):
+            xc, Ac, mr = inp
+            xc = xc * mr[None, None, :]
+            new = jnp.einsum("aic,aWb,Wijw,bjd->cwd", jnp.conj(xc), carry, Ac,
+                             xc, optimize=True)
+            return new, new
+
+        _, envs = lax.scan(step, init, (x, A_stack, masks[1:]))
+        return jnp.concatenate([init[None], envs], axis=0)
+
+    Lenvs = left_envs(x_mid, masks_mid)
+
+    def bwd(carry, inp):
+        Renv, m_r, _first = carry
+        Ai, Aj, Lenv, m_l = inp
+        lam, V = _local2_eigmin(Lenv, Ai, Aj, Renv, m_l, m_r)
+        u, s, vt = jnp.linalg.svd(V.reshape(R * n, n * R),
+                                  full_matrices=False)
+        keep = _keep_mask(s, tol, R)[:R]
+        core = (vt[:R, :] * keep[:, None]).reshape(R, n, R)
+        first = ((u[:, :R] * s[None, :R]) * keep[None, :]).reshape(R, n, R)
+        R_new = jnp.einsum("aip,Wijw,bjq,pwq->aWb", jnp.conj(core), Aj, core,
+                           Renv, optimize=True)
+        return (R_new, keep, first), (core, keep, lam)
+
+    R0 = _boundary_env(R, RA, dt)
+    inputs_b = (A_stack[:-1], A_stack[1:], Lenvs[: d - 1], masks_mid[: d - 1])
+    (Renv, _, first), (bwd_cores, bwd_masks, lams_b) = lax.scan(
+        bwd, (R0, m0, x_mid[0]), inputs_b, reverse=True)
+    x_out = jnp.concatenate([first[None], bwd_cores], axis=0)
+    masks_out = jnp.concatenate(
+        [mask_stack[0][None], bwd_masks, mask_stack[d][None]], axis=0)
+    return x_out, masks_out, jnp.concatenate([lams_f, lams_b[::-1]])
+
+
+def mals_eigsolve_scan(A: TTOperator, x0: TTVector, tol: float = 1e-12,
+                       rmax: int | None = None, n_sweeps: int = 2):
+    """Jitted rank-adaptive smallest-eigenpair solver; returns ``(E, x)``
+    (the realized ranks come back as data, like the linsolve variant)."""
+    if rmax is None:
+        rmax = min(int(round(np.sqrt(float(np.prod(x0.dims))))), 64)
+    x = orthogonalize(x0, 0)
+    dt = jnp.result_type(A.dtype, x.dtype)
+    A_stack = pack_op(A.astype(dt), max(A.ranks))
+    x_stack = pack_tt(x.astype(dt), rmax)
+    real_dt = jnp.zeros((), dt).real.dtype
+    d = x.N
+    mask_np = np.zeros((d + 1, rmax))
+    for i, r in enumerate(x.ranks):
+        mask_np[i, :r] = 1.0
+    masks = jnp.asarray(mask_np, dtype=real_dt)
+    tol_arr = jnp.asarray(tol, real_dt)
+    energies = []
+    for _ in range(n_sweeps):
+        x_stack, masks, lams = mals_eig_sweep(A_stack, x_stack, masks,
+                                              tol_arr)
+        energies.append(np.asarray(jnp.real(lams)))
+    rks = [int(v) for v in np.asarray(jnp.sum(masks, axis=1))]
+    return np.concatenate(energies), unpack_tt(x_stack, rks)
 
 
 def mals_linsolve_scan(A: TTOperator, b: TTVector, x0: TTVector,
