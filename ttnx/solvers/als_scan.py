@@ -136,26 +136,58 @@ def _right_env_stack(x, A, b, mask_r):
     return envs, envs_b
 
 
-def _local_solve_padded(L, Ac, Renv, Lb, bc, Rb_env, m_l, m_r):
+def _local_solve_padded(L, Ac, Renv, Lb, bc, Rb_env, m_l, m_r,
+                        solver: str = "lu", cg_iters: int = 48):
+    """Masked local solve. ``solver='lu'`` assembles the dense operator;
+    ``solver='cg'`` runs fixed-iteration conjugate gradients with a
+    matrix-free masked apply — matmul-only, which both maps better onto the
+    MXU and avoids the LU path some TPU toolchains reject inside scans
+    (SPD local operators only, e.g. implicit time stepping)."""
     R = L.shape[0]
     n = Ac.shape[1]
     M = R * n * R
+    maskv3 = (m_l[:, None, None] * m_r[None, None, :]
+              * jnp.ones((1, n, 1), dtype=m_l.dtype))
+    rhs = jnp.einsum("au,uiv,cv->aic", Lb, bc, Rb_env,
+                     optimize=True) * maskv3
+    if solver == "cg":
+        def apply_k(v):
+            out = jnp.einsum("aWb,WiJw,cwd,bJd->aic", L, Ac, Renv,
+                             v * maskv3, optimize=True)
+            return out * maskv3 + (1.0 - maskv3) * v
+
+        x = jnp.zeros_like(rhs)
+        r = rhs
+        p = r
+        rs = jnp.vdot(r, r)
+
+        def body(_, state):
+            x, r, p, rs = state
+            ap = apply_k(p)
+            denom = jnp.vdot(p, ap)
+            alpha = jnp.where(jnp.abs(denom) > 0, rs / denom, 0.0)
+            x = x + alpha * p
+            r = r - alpha * ap
+            rs_new = jnp.vdot(r, r)
+            beta = jnp.where(jnp.abs(rs) > 0, rs_new / rs, 0.0)
+            p = r + beta * p
+            return (x, r, p, rs_new)
+
+        x, _, _, _ = lax.fori_loop(0, cg_iters, body, (x, r, p, rs))
+        return x
     K = jnp.einsum("aWb,WiJw,cwd->aicbJd", L, Ac, Renv,
                    optimize=True).reshape(M, M)
-    maskv = (m_l[:, None, None] * m_r[None, None, :]
-             * jnp.ones((1, n, 1), dtype=m_l.dtype)).reshape(M)
+    maskv = maskv3.reshape(M)
     # identity on padded diagonal; a tiny ridge on the active diagonal keeps
     # the solve finite when the state is rank-deficient relative to its mask
     # (zero environment directions -> zero rows with zero rhs -> zero output)
     K = (K * maskv[:, None] * maskv[None, :] + jnp.diag(1.0 - maskv)
          + 1e-100 * jnp.diag(maskv))
-    rhs = jnp.einsum("au,uiv,cv->aic", Lb, bc, Rb_env,
-                     optimize=True).reshape(M) * maskv
-    V = jnp.linalg.solve(K, rhs)
+    V = jnp.linalg.solve(K, rhs.reshape(M))
     return V.reshape(R, n, R)
 
 
-def _forward_half_sweep(x, A, b, Renvs, Rb_envs, masks):
+def _forward_half_sweep(x, A, b, Renvs, Rb_envs, masks, solver="lu"):
     """Solve sites 0..d-2 moving right; returns new cores and the pending
     triangular factor for the last site."""
     d, R, n, _ = x.shape
@@ -169,7 +201,8 @@ def _forward_half_sweep(x, A, b, Renvs, Rb_envs, masks):
     def step(carry, inp):
         L, Lb, _T = carry
         Ac, bc, Renv, Rb_env, m_l, m_r = inp
-        V = _local_solve_padded(L, Ac, Renv, Lb, bc, Rb_env, m_l, m_r)
+        V = _local_solve_padded(L, Ac, Renv, Lb, bc, Rb_env, m_l, m_r,
+                                solver=solver)
         q, r = jnp.linalg.qr(V.reshape(R * n, R))
         q = q * m_r[None, :]
         r = r * m_r[:, None]
@@ -188,7 +221,7 @@ def _forward_half_sweep(x, A, b, Renvs, Rb_envs, masks):
     return x_new
 
 
-def _backward_half_sweep(x, A, b, Lenvs, Lb_envs, masks):
+def _backward_half_sweep(x, A, b, Lenvs, Lb_envs, masks, solver="lu"):
     """Solve sites d-1..1 moving left; site 0 absorbs the final factor."""
     d, R, n, _ = x.shape
     dt = x.dtype
@@ -201,7 +234,8 @@ def _backward_half_sweep(x, A, b, Lenvs, Lb_envs, masks):
     def step(carry, inp):
         Renv, Rb_env, _T = carry
         Ac, bc, Lenv, Lb_env, m_l, m_r = inp
-        V = _local_solve_padded(Lenv, Ac, Renv, Lb_env, bc, Rb_env, m_l, m_r)
+        V = _local_solve_padded(Lenv, Ac, Renv, Lb_env, bc, Rb_env, m_l, m_r,
+                                solver=solver)
         qt, rt = jnp.linalg.qr(V.reshape(R, n * R).T)
         q = (qt.T * 1.0).reshape(R, n, R) * m_l[:, None, None]
         t = rt.T * m_l[None, :]
@@ -245,20 +279,23 @@ def _left_env_stack(x, A, b, mask_r):
     return envs, envs_b
 
 
-@partial(jax.jit, static_argnames=("sweep_count",))
-def als_sweeps(A_stack, b_stack, x_stack, masks, sweep_count: int = 2):
+@partial(jax.jit, static_argnames=("sweep_count", "solver"))
+def als_sweeps(A_stack, b_stack, x_stack, masks, sweep_count: int = 2,
+               solver: str = "lu"):
     """Run ``sweep_count`` ALS half-sweeps (reference counting semantics:
     2 = forward + backward) as one compiled XLA program."""
     x = x_stack
     half = 0
     while half < sweep_count:
         Renvs, Rb_envs = _right_env_stack(x, A_stack, b_stack, masks[1:])
-        x = _forward_half_sweep(x, A_stack, b_stack, Renvs, Rb_envs, masks)
+        x = _forward_half_sweep(x, A_stack, b_stack, Renvs, Rb_envs, masks,
+                                solver=solver)
         half += 1
         if half >= sweep_count:
             break
         Lenvs, Lb_envs = _left_env_stack(x, A_stack, b_stack, masks[1:])
-        x = _backward_half_sweep(x, A_stack, b_stack, Lenvs, Lb_envs, masks)
+        x = _backward_half_sweep(x, A_stack, b_stack, Lenvs, Lb_envs, masks,
+                                 solver=solver)
         half += 1
     return x
 

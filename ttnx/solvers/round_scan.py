@@ -98,9 +98,10 @@ def round_masks(in_rks, R_out: int, dims):
     return r_and_d_to_rks(rks, dims, rmax=R_out)
 
 
-@partial(jax.jit, static_argnames=("sweep_count",))
+@partial(jax.jit, static_argnames=("sweep_count", "solver"))
 def cn_step(lhs_stack, rhs_stack, u_stack, guess_noise, masks_u,
-            masks_rhs_big, masks_u_out, sweep_count: int = 4):
+            masks_rhs_big, masks_u_out, sweep_count: int = 4,
+            solver: str = "lu"):
     """One Crank–Nicolson step as a single compiled program:
     ``u <- ALS-solve(lhs, round(rhs_op @ u))`` (reference stepper:
     /root/reference/src/solvers/euler.jl:145-191).
@@ -114,11 +115,12 @@ def cn_step(lhs_stack, rhs_stack, u_stack, guess_noise, masks_u,
     big = matvec_padded(rhs_stack, u_stack)
     b = tt_round_scan(big, masks_rhs_big, R_out, masks_u_out)
     guess = u_stack + guess_noise
-    return als_sweeps(lhs_stack, b, guess, masks_u, sweep_count)
+    return als_sweeps(lhs_stack, b, guess, masks_u, sweep_count,
+                      solver=solver)
 
 
 def make_cn_step(A, h: float, rmax: int, dims, u_rks, dtype=jnp.float64,
-                 sweep_count: int = 4):
+                 sweep_count: int = 4, solver: str = "lu"):
     """Host-side setup for :func:`cn_step` on ``du/dt = A u``: packs
     ``I -/+ h/2 A`` and builds all masks. Returns ``(step_fn, pack, unpack)``.
     """
@@ -161,7 +163,7 @@ def make_cn_step(A, h: float, rmax: int, dims, u_rks, dtype=jnp.float64,
 
     def step_fn(u_stack):
         return cn_step(lhs_stack, rhs_stack, u_stack, guess_noise, masks_u,
-                       masks_big, masks_out, sweep_count)
+                       masks_big, masks_out, sweep_count, solver)
 
     def pack(u):
         from ttnx.core.canonical import tt_round

@@ -30,7 +30,7 @@ from ttnx.solvers.als_scan import (
     unpack_tt,
 )
 
-__all__ = ["tdvp1_step", "tdvp1_scan"]
+__all__ = ["tdvp1_step", "tdvp1_scan", "tdvp2_step", "tdvp2_scan"]
 
 
 def _k1_masked(L, Ac, Renv, m_l, m_r):
@@ -151,6 +151,132 @@ def _left_env_stack_from(cores_left, A, masks):
     return jnp.concatenate([init[None], envs], axis=0)
 
 
+def _k2_masked(L, Ai, Aj, Renv, m_l, m_r):
+    R = L.shape[0]
+    n = Ai.shape[1]
+    M = R * n * n * R
+    K = jnp.einsum("aWb,WiIw,wjJv,cvd->aijcbIJd", L, Ai, Aj, Renv,
+                   optimize=True).reshape(M, M)
+    maskv = (m_l[:, None, None, None] * m_r[None, None, None, :]
+             * jnp.ones((1, n, n, 1), dtype=m_l.dtype)).reshape(M)
+    return K * maskv[:, None] * maskv[None, :]
+
+
+def _keep_mask_tdvp(s, truncerr, max_keep, R):
+    """Absolute-threshold keep mask capped at ``max_keep`` (the reference
+    tdvp2 uses _svdtrunc's absolute rule, tdvp.jl:250-253). Numerically-zero
+    padded singular values are always dropped so reported ranks stay honest."""
+    idx = jnp.arange(R)
+    floor = jnp.maximum(truncerr, s[0] * 1e-15)
+    keep = (s[:R] >= floor) & (idx < max_keep)
+    keep = keep.at[0].set(True)
+    return keep.astype(s.dtype)
+
+
+@partial(jax.jit, static_argnames=())
+def tdvp2_step(A_stack, x_stack, mask_stack, dt, truncerr, max_keep):
+    """One 2-site TDVP sweep (L->R then R->L) with half time steps and
+    dynamic rank masks (jitted analog of the eager tdvp2sweep)."""
+    d, R, n, _ = x_stack.shape
+    dtc = x_stack.dtype
+    Renvs = _right_env_stack_A(x_stack, A_stack, mask_stack[1:])
+    t2 = -1j * dt / 2
+    t1 = +1j * dt / 2
+    L0 = _boundary_env(R, A_stack.shape[1], dtc)
+
+    def fwd(carry, inp):
+        L, AC, m_l = carry
+        core_next, Ai, Aj, Renv, m_r, is_last = inp
+        AAC = jnp.einsum("asg,gtb->astb", AC, core_next)
+        K2 = _k2_masked(L, Ai, Aj, Renv, m_l, m_r)
+        AAC = _expmv(K2, t2, AAC)
+        u, s, vt = jnp.linalg.svd(AAC.reshape(R * n, n * R),
+                                  full_matrices=False)
+        keep = _keep_mask_tdvp(jnp.abs(s[:R]), truncerr, max_keep, R)
+        core = (u[:, :R] * keep[None, :]).reshape(R, n, R)
+        AC_new = ((s[:R, None] * vt[:R, :]) * keep[:, None]).reshape(R, n, R)
+        L_new = jnp.einsum("aic,aWb,Wijw,bjd->cwd", jnp.conj(core), L, Ai,
+                           core, optimize=True)
+        K1 = _k1_masked(L_new, Aj, Renv, keep, m_r)
+        # skip the 1-site back-evolution on the last forward bond (expm(0)=I)
+        AC_new = _expmv(K1, t1 * (1.0 - is_last), AC_new)
+        return (L_new, AC_new, keep), (core, keep)
+
+    m0 = mask_stack[0]
+    inputs = (x_stack[1:], A_stack[:-1], A_stack[1:], Renvs[2:],
+              mask_stack[2:],
+              jnp.arange(d - 1) == d - 2)
+    (L, AC, m_last), (fwd_cores, fwd_masks) = lax.scan(
+        fwd, (L0, x_stack[0], m0), inputs)
+    x_mid = jnp.concatenate([fwd_cores, AC[None]], axis=0)
+    masks_mid = jnp.concatenate(
+        [mask_stack[0][None], fwd_masks, mask_stack[d][None]], axis=0)
+
+    Lenvs = _left_env_stack_from(x_mid[:-1], A_stack, masks_mid)
+    R0 = _boundary_env(R, A_stack.shape[1], dtc)
+
+    def bwd(carry, inp):
+        Renv, AC, m_r = carry
+        core_prev, Ai, Aj, Lenv, m_l, is_first = inp
+        AAC = jnp.einsum("asg,gtb->astb", core_prev, AC)
+        K2 = _k2_masked(Lenv, Ai, Aj, Renv, m_l, m_r)
+        AAC = _expmv(K2, t2, AAC)
+        u, s, vt = jnp.linalg.svd(AAC.reshape(R * n, n * R),
+                                  full_matrices=False)
+        keep = _keep_mask_tdvp(jnp.abs(s[:R]), truncerr, max_keep, R)
+        core = (vt[:R, :] * keep[:, None]).reshape(R, n, R)
+        AC_new = ((u[:, :R] * s[None, :R]) * keep[None, :]).reshape(R, n, R)
+        R_new = jnp.einsum("aip,Wijw,bjq,pwq->aWb", jnp.conj(core), Aj, core,
+                           Renv, optimize=True)
+        K1 = _k1_masked(Lenv, Ai, R_new, m_l, keep)
+        AC_new = _expmv(K1, t1 * (1.0 - is_first), AC_new)
+        return (R_new, AC_new, keep), (core, keep)
+
+    inputs_b = (x_mid[:-1], A_stack[:-1], A_stack[1:], Lenvs[: d - 1],
+                masks_mid[: d - 1], jnp.arange(d - 1) == 0)
+    (Renv, AC0, m_first), (bwd_cores, bwd_masks) = lax.scan(
+        bwd, (R0, x_mid[d - 1], mask_stack[d]), inputs_b, reverse=True)
+    x_out = jnp.concatenate([AC0[None], bwd_cores], axis=0)
+    masks_out = jnp.concatenate(
+        [mask_stack[0][None], bwd_masks, mask_stack[d][None]], axis=0)
+    return x_out, masks_out
+
+
+def tdvp2_scan(H: TTOperator, u0: TTVector, steps, imaginary_time=False,
+               normalize=True, rmax: int | None = None, truncerr: float = 0.0,
+               max_bond: int | None = None):
+    """Jitted 2-site TDVP driver with dynamic rank masks."""
+    from ttnx.core.algebra import norm, scale
+
+    x = orthogonalize(u0, 0)
+    if rmax is None:
+        rmax = max(2 * max(x.ranks), 4)
+    if max_bond is None:
+        max_bond = rmax
+    dtc = jnp.complex128
+    A_stack = pack_op(H.astype(dtc), max(H.ranks))
+    x_stack = pack_tt(x.astype(dtc), rmax)
+    d = x.N
+    mask_np = np.zeros((d + 1, rmax))
+    for i, r in enumerate(x.ranks):
+        mask_np[i, :r] = 1.0
+    masks = jnp.asarray(mask_np, dtype=jnp.float64)
+    te = jnp.asarray(truncerr, jnp.float64)
+    mk = jnp.asarray(min(max_bond, rmax), jnp.int32)
+    for h in np.atleast_1d(steps):
+        dt = (1j * h) if imaginary_time else jnp.asarray(h, dtc)
+        x_stack, masks = tdvp2_step(A_stack, x_stack, masks,
+                                    jnp.asarray(dt, dtc), te, mk)
+        if normalize:
+            rks = [int(v) for v in np.asarray(jnp.sum(jnp.real(masks),
+                                                      axis=1))]
+            out = unpack_tt(x_stack, rks)
+            out = scale(1.0 / float(norm(out)), out)
+            x_stack = pack_tt(out, rmax)
+    rks = [int(v) for v in np.asarray(jnp.sum(jnp.real(masks), axis=1))]
+    return unpack_tt(x_stack, rks)
+
+
 def tdvp1_scan(H: TTOperator, u0: TTVector, steps, imaginary_time=False,
                normalize=True, rmax: int | None = None):
     """Driver: jitted 1-site TDVP over ``steps`` (eager normalization between
@@ -163,7 +289,7 @@ def tdvp1_scan(H: TTOperator, u0: TTVector, steps, imaginary_time=False,
         rmax = max(max(rks), 2)
     dtc = jnp.complex128
     A_stack = pack_op(H.astype(dtc), max(H.ranks))
-    masks = rank_masks(rks, rmax, dtype=jnp.float64).astype(dtc)
+    masks = rank_masks(rks, rmax, dtype=jnp.float64)
     x_stack = pack_tt(x.astype(dtc), rmax)
     for h in np.atleast_1d(steps):
         # imaginary time: dt_eff = +i*h makes the site evolution exp(+h*K),
