@@ -76,6 +76,38 @@ class TestScanALS:
         assert rel < 1e-10
 
 
+class TestSolverOptions:
+    def test_cg_local_solver_matches_lu(self, key):
+        from ttnx import id_tto, laplacian
+        from ttnx.core.canonical import orthogonalize
+        from ttnx.solvers.als_scan import (
+            als_sweeps, pack_op, pack_tt, rank_masks, unpack_tt)
+
+        d = 6
+        A = id_tto(d) + 1e-5 * laplacian(d)  # SPD, well-conditioned
+        b = qtt_sin(d)
+        x0 = orthogonalize(rand_tt(key, (2,) * d, rmax=4, normalise=True), 0)
+        rks = x0.ranks
+        args = (pack_op(A, max(A.ranks)), pack_tt(b, max(b.ranks)),
+                pack_tt(x0, 4), rank_masks(rks, 4))
+        x_lu = unpack_tt(als_sweeps(*args, 4, solver="lu"), rks)
+        x_cg = unpack_tt(als_sweeps(*args, 4, solver="cg"), rks)
+        assert np.linalg.norm(vec(x_lu) - vec(x_cg)) < 1e-10
+
+    def test_polar_orth_well_conditioned(self, rng):
+        import jax.numpy as jnp
+        from ttnx.solvers.als_scan import polar_orth
+
+        m = jnp.asarray(rng.standard_normal((32, 8)))
+        q, r = polar_orth(m)
+        assert float(jnp.linalg.norm(q.T @ q - jnp.eye(8))) < 1e-12
+        assert float(jnp.linalg.norm(q @ r - m)) < 1e-12
+        # padded zero columns stay exactly zero
+        m2 = m.at[:, 5:].set(0.0)
+        q2, _ = polar_orth(m2)
+        assert float(jnp.abs(q2[:, 5:]).max()) == 0.0
+
+
 class TestScanEigsolve:
     def test_heisenberg_ground_state(self, key):
         from ttnx import heisenberg_xyz_tto, qtto_to_matrix

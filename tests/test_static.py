@@ -65,7 +65,8 @@ def test_reference_api_surface_complete():
     "ttnx.core.algebra", "ttnx.ops.operators", "ttnx.ops.qtt",
     "ttnx.ops.fourier", "ttnx.solvers.als", "ttnx.solvers.mals",
     "ttnx.solvers.dmrg", "ttnx.solvers.tdvp", "ttnx.solvers.steppers",
-    "ttnx.solvers.krylov", "ttnx.solvers.als_scan", "ttnx.cross.cross",
+    "ttnx.solvers.krylov", "ttnx.solvers.als_scan", "ttnx.solvers.mals_scan",
+    "ttnx.solvers.tdvp_scan", "ttnx.solvers.round_scan", "ttnx.cross.cross",
     "ttnx.cross.maxvol", "ttnx.parallel.batch", "ttnx.kernels.contraction",
     "ttnx.utils.manifold", "ttnx.utils.convert", "ttnx.utils.checkpoint",
     "ttnx.utils.validation", "ttnx.utils.profiling",

@@ -103,7 +103,8 @@ def add_op(x: TTOperator, y: TTOperator) -> TTOperator:
 def scale(a, x: TTVector) -> TTVector:
     """Scalar times TT vector: scale the orthogonality-center core
     (/root/reference/src/tt_operations.jl:256-266)."""
-    dt = jnp.result_type(x.dtype, jnp.asarray(a).dtype)
+    # weak-type the scalar: 0.5 * f32-TT must stay f32 under x64
+    dt = jnp.result_type(x.dtype, a)
     if isinstance(a, (int, float, complex)) and a == 0:
         return zeros_tt(x.dims, x.ranks, dtype=dt)
     i = x.ot.index(0) if 0 in x.ot else 0
@@ -113,7 +114,7 @@ def scale(a, x: TTVector) -> TTVector:
 
 
 def scale_op(a, x: TTOperator) -> TTOperator:
-    dt = jnp.result_type(x.dtype, jnp.asarray(a).dtype)
+    dt = jnp.result_type(x.dtype, a)
     if isinstance(a, (int, float, complex)) and a == 0:
         return zeros_tto(x.dims, x.ranks, dtype=dt)
     i = x.ot.index(0) if 0 in x.ot else 0

@@ -187,7 +187,44 @@ def _local_solve_padded(L, Ac, Renv, Lb, bc, Rb_env, m_l, m_r,
     return V.reshape(R, n, R)
 
 
-def _forward_half_sweep(x, A, b, Renvs, Rb_envs, masks, solver="lu"):
+def polar_orth(m, iters: int = 14):
+    """Matmul-only orthonormalization via quintic Newton–Schulz iteration for
+    the polar factor: returns ``(q, r)`` with ``q`` having orthonormal columns
+    spanning range(m) and ``m = q @ r`` (``r = q^H m``, not triangular).
+
+    A TPU-native QR alternative: pure matmuls, MXU-friendly. Zero (padded)
+    columns stay exactly zero. The quintic coefficients (3.4445, -4.7750,
+    2.0315) inflate small singular values far faster than the cubic
+    iteration; a few cubic steps then polish toward machine precision.
+
+    CAVEAT: like every fixed-iteration polynomial method this produces only
+    LOOSE orthogonality in directions with singular values below ~1e-6 of
+    the norm — fine for optimizer-style updates, NOT for precision TT
+    orthogonalization of near-rank-deficient cores. Default paths use QR;
+    select ``orth='polar'`` only for throughput experiments.
+    """
+    k = m.shape[1]
+    scale = jnp.sqrt(jnp.sum(jnp.abs(m) ** 2)) + 1e-30
+    y = m / scale
+    eye = jnp.eye(k, dtype=m.dtype)
+
+    def quintic(_, y):
+        z = y.conj().T @ y
+        zy = 3.4445 * eye - 4.7750 * z + 2.0315 * (z @ z)
+        return y @ zy
+
+    def cubic(_, y):
+        z = y.conj().T @ y
+        return 0.5 * y @ (3.0 * eye - z)
+
+    y = lax.fori_loop(0, iters, quintic, y)
+    y = lax.fori_loop(0, 8, cubic, y)
+    r = y.conj().T @ m
+    return y, r
+
+
+def _forward_half_sweep(x, A, b, Renvs, Rb_envs, masks, solver="lu",
+                        orth="qr"):
     """Solve sites 0..d-2 moving right; returns new cores and the pending
     triangular factor for the last site."""
     d, R, n, _ = x.shape
@@ -203,7 +240,10 @@ def _forward_half_sweep(x, A, b, Renvs, Rb_envs, masks, solver="lu"):
         Ac, bc, Renv, Rb_env, m_l, m_r = inp
         V = _local_solve_padded(L, Ac, Renv, Lb, bc, Rb_env, m_l, m_r,
                                 solver=solver)
-        q, r = jnp.linalg.qr(V.reshape(R * n, R))
+        if orth == "polar":
+            q, r = polar_orth(V.reshape(R * n, R))
+        else:
+            q, r = jnp.linalg.qr(V.reshape(R * n, R))
         q = q * m_r[None, :]
         r = r * m_r[:, None]
         core = q.reshape(R, n, R)
@@ -221,7 +261,8 @@ def _forward_half_sweep(x, A, b, Renvs, Rb_envs, masks, solver="lu"):
     return x_new
 
 
-def _backward_half_sweep(x, A, b, Lenvs, Lb_envs, masks, solver="lu"):
+def _backward_half_sweep(x, A, b, Lenvs, Lb_envs, masks, solver="lu",
+                         orth="qr"):
     """Solve sites d-1..1 moving left; site 0 absorbs the final factor."""
     d, R, n, _ = x.shape
     dt = x.dtype
@@ -236,7 +277,10 @@ def _backward_half_sweep(x, A, b, Lenvs, Lb_envs, masks, solver="lu"):
         Ac, bc, Lenv, Lb_env, m_l, m_r = inp
         V = _local_solve_padded(Lenv, Ac, Renv, Lb_env, bc, Rb_env, m_l, m_r,
                                 solver=solver)
-        qt, rt = jnp.linalg.qr(V.reshape(R, n * R).T)
+        if orth == "polar":
+            qt, rt = polar_orth(V.reshape(R, n * R).T)
+        else:
+            qt, rt = jnp.linalg.qr(V.reshape(R, n * R).T)
         q = (qt.T * 1.0).reshape(R, n, R) * m_l[:, None, None]
         t = rt.T * m_l[None, :]
         core = q
@@ -279,23 +323,27 @@ def _left_env_stack(x, A, b, mask_r):
     return envs, envs_b
 
 
-@partial(jax.jit, static_argnames=("sweep_count", "solver"))
+@partial(jax.jit, static_argnames=("sweep_count", "solver", "orth"))
 def als_sweeps(A_stack, b_stack, x_stack, masks, sweep_count: int = 2,
-               solver: str = "lu"):
+               solver: str = "lu", orth: str = "qr"):
     """Run ``sweep_count`` ALS half-sweeps (reference counting semantics:
     2 = forward + backward) as one compiled XLA program."""
+    if solver not in ("lu", "cg"):
+        raise ValueError(f"solver must be 'lu' or 'cg', got {solver!r}")
+    if orth not in ("qr", "polar"):
+        raise ValueError(f"orth must be 'qr' or 'polar', got {orth!r}")
     x = x_stack
     half = 0
     while half < sweep_count:
         Renvs, Rb_envs = _right_env_stack(x, A_stack, b_stack, masks[1:])
         x = _forward_half_sweep(x, A_stack, b_stack, Renvs, Rb_envs, masks,
-                                solver=solver)
+                                solver=solver, orth=orth)
         half += 1
         if half >= sweep_count:
             break
         Lenvs, Lb_envs = _left_env_stack(x, A_stack, b_stack, masks[1:])
         x = _backward_half_sweep(x, A_stack, b_stack, Lenvs, Lb_envs, masks,
-                                 solver=solver)
+                                 solver=solver, orth=orth)
         half += 1
     return x
 

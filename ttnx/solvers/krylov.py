@@ -50,7 +50,8 @@ def expm_multiply(f: Callable, t, v, tol: float = 1e-12, krylov_dim: int = 30,
     if beta == 0.0:
         return v
     m_max = min(krylov_dim, m_dim)
-    dtype = jnp.result_type(v0.dtype, jnp.asarray(t).dtype)
+    # weak-type the scalar t: a complex t must promote, a float must not
+    dtype = jnp.result_type(v0.dtype, t)
     V = [v0.astype(dtype) / beta]
     H = np.zeros((m_max + 1, m_max), dtype=np.complex128)
     y = None

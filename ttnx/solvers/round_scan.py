@@ -98,10 +98,11 @@ def round_masks(in_rks, R_out: int, dims):
     return r_and_d_to_rks(rks, dims, rmax=R_out)
 
 
-@partial(jax.jit, static_argnames=("sweep_count", "solver"))
+@partial(jax.jit, static_argnames=("sweep_count", "solver", "orth",
+                                   "round_rhs"))
 def cn_step(lhs_stack, rhs_stack, u_stack, guess_noise, masks_u,
             masks_rhs_big, masks_u_out, sweep_count: int = 4,
-            solver: str = "lu"):
+            solver: str = "lu", orth: str = "qr", round_rhs: bool = True):
     """One Crank–Nicolson step as a single compiled program:
     ``u <- ALS-solve(lhs, round(rhs_op @ u))`` (reference stepper:
     /root/reference/src/solvers/euler.jl:145-191).
@@ -113,25 +114,40 @@ def cn_step(lhs_stack, rhs_stack, u_stack, guess_noise, masks_u,
     """
     R_out = u_stack.shape[1]
     big = matvec_padded(rhs_stack, u_stack)
-    b = tt_round_scan(big, masks_rhs_big, R_out, masks_u_out)
+    if round_rhs:
+        b = tt_round_scan(big, masks_rhs_big, R_out, masks_u_out)
+    else:
+        # keep the rhs at the applied (Kronecker) rank: larger b environments
+        # but zero dense-linalg primitives in the whole program when combined
+        # with solver='cg' and orth='polar' (pure matmuls -> always compiles
+        # on TPU toolchains that reject LU/QR/SVD inside scans)
+        b = big
     guess = u_stack + guess_noise
     return als_sweeps(lhs_stack, b, guess, masks_u, sweep_count,
-                      solver=solver)
+                      solver=solver, orth=orth)
 
 
 def make_cn_step(A, h: float, rmax: int, dims, u_rks, dtype=jnp.float64,
-                 sweep_count: int = 4, solver: str = "lu"):
+                 sweep_count: int = 4, solver: str = "lu", orth: str = "qr",
+                 round_rhs: bool = True):
     """Host-side setup for :func:`cn_step` on ``du/dt = A u``: packs
     ``I -/+ h/2 A`` and builds all masks. Returns ``(step_fn, pack, unpack)``.
     """
     from ttnx.core.algebra import add_op, scale_op
-    from ttnx.core.tt import TTOperator, TTVector, id_tto
+    from ttnx.core.tt import id_tto
     from ttnx.solvers.als_scan import pack_op, pack_tt, unpack_tt
 
+    if solver not in ("lu", "cg"):
+        raise ValueError(f"solver must be 'lu' or 'cg', got {solver!r}")
+    if orth not in ("qr", "polar"):
+        raise ValueError(f"orth must be 'qr' or 'polar', got {orth!r}")
     d = len(dims)
+    # cast FIRST: the construction ops run eagerly on the active device and
+    # the TPU has no f64 (a late astype would dispatch f64 ops)
+    A = A.astype(dtype)
     eye = id_tto(d, dtype=dtype)
-    lhs = add_op(eye, scale_op(-h / 2, A)).astype(dtype)
-    rhs = add_op(eye, scale_op(h / 2, A)).astype(dtype)
+    lhs = add_op(eye, scale_op(-h / 2, A))
+    rhs = add_op(eye, scale_op(h / 2, A))
     RA = max(rhs.ranks)
     lhs_stack = pack_op(lhs, max(lhs.ranks))
     rhs_stack = pack_op(rhs, RA)
@@ -163,7 +179,8 @@ def make_cn_step(A, h: float, rmax: int, dims, u_rks, dtype=jnp.float64,
 
     def step_fn(u_stack):
         return cn_step(lhs_stack, rhs_stack, u_stack, guess_noise, masks_u,
-                       masks_big, masks_out, sweep_count, solver)
+                       masks_big, masks_out, sweep_count, solver, orth,
+                       round_rhs)
 
     def pack(u):
         from ttnx.core.canonical import tt_round
