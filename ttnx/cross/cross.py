@@ -128,6 +128,32 @@ def _evaluate_on_domain(f, domain, indices: np.ndarray) -> np.ndarray:
     return np.asarray(f(coords)).reshape(-1)
 
 
+class _CachedEvaluator:
+    """Memoizing wrapper for the black-box ``f``: every distinct grid index
+    is evaluated exactly once. This gives the greedy sweep the evaluation
+    economy of the reference's incremental rank-1 cross updates
+    (tt_cross_interpolation.jl:419-476) without maintaining mid_inv_L/U:
+    re-requested fibers and cross matrices hit the cache, and only the new
+    pivot row/column slices reach ``f``.
+    """
+
+    def __init__(self, f, domain):
+        self._f = f
+        self._domain = domain
+        self._cache: dict = {}
+        self.n_evals = 0
+
+    def __call__(self, indices: np.ndarray) -> np.ndarray:
+        keys = list(map(tuple, np.asarray(indices, dtype=int)))
+        miss = [k for k in set(keys) if k not in self._cache]
+        if miss:
+            vals = _evaluate_on_domain(
+                self._f, self._domain, np.asarray(miss, dtype=int))
+            self.n_evals += len(miss)
+            self._cache.update(zip(miss, vals))
+        return np.asarray([self._cache[k] for k in keys])
+
+
 def _evaluate_tt(cores, indices: np.ndarray) -> np.ndarray:
     """Batched evaluation of a TT (cores in (r_l, n, r_r) layout) at index
     rows (reference _evaluate_tt tt_cross_interpolation.jl:128-142)."""
@@ -439,6 +465,7 @@ def _greedy_cross(f, domain, alg: Greedy, val_size, seed):
     seed_eff = alg.pivot.seed if alg.pivot.seed is not None else seed
     rng = np.random.default_rng(seed_eff)
     budget = min(alg.nsamples, alg.pivot.nsamples)
+    ev = _CachedEvaluator(f, domain)
 
     # index sets per bond: Jl[i] (Rs[i], i), Jr[i] (Rs[i], N-i)
     Jl = [np.zeros((1, 0), dtype=int) for _ in range(N + 1)]
@@ -460,7 +487,7 @@ def _greedy_cross(f, domain, alg: Greedy, val_size, seed):
     def fiber(i):
         """y_i = f on (Jl[i] x site x Jr[i+1]) as (Rs[i], Is[i], Rs[i+1])."""
         idx = _fiber_indices(Jl[i], Jr[i + 1], Is[i], N, i)
-        return _evaluate_on_domain(f, domain, idx).reshape(
+        return ev(idx).reshape(
             Jl[i].shape[0], Is[i], Jr[i + 1].shape[0])
 
     def cross_inv(i):
@@ -471,7 +498,7 @@ def _greedy_cross(f, domain, alg: Greedy, val_size, seed):
         idx = np.concatenate(
             [Jl[i][np.repeat(np.arange(r), r)],
              Jr[i][np.tile(np.arange(r), r)]], axis=1)
-        C = _evaluate_on_domain(f, domain, idx).reshape(r, r)
+        C = ev(idx).reshape(r, r)
         return np.linalg.pinv(C)
 
     # pivot refinement by fiber argmax — avoids zero pivots when the domain
@@ -487,7 +514,7 @@ def _greedy_cross(f, domain, alg: Greedy, val_size, seed):
         Jl[i + 1] = _merge_left(Jl[i], Is[i])[[best]]
 
     Xs_val = _validation_set(rng, Is, val_size)
-    ys_val = _evaluate_on_domain(f, domain, Xs_val)
+    ys_val = ev(Xs_val)
     norm_val = max(np.linalg.norm(ys_val), alg.tol)
 
     def assemble():
@@ -526,8 +553,7 @@ def _greedy_cross(f, domain, alg: Greedy, val_size, seed):
             Cinv = cross_inv(i + 1)
             e1 = y1 @ Cinv  # (n1, r)
 
-            crt = _evaluate_on_domain(
-                f, domain, np.concatenate([J1[t1], J2[t2]], axis=1))
+            crt = ev(np.concatenate([J1[t1], J2[t2]], axis=1))
             approx = np.einsum("pr,rp->p", e1[t1], y2[:, t2])
             res = crt - approx
             maxy = max(np.max(np.abs(crt)), 1e-300)
@@ -536,7 +562,7 @@ def _greedy_cross(f, domain, alg: Greedy, val_size, seed):
             col_idx = np.concatenate(
                 [J1[cind1], np.repeat(J2[[q_best]], len(cind1), axis=0)],
                 axis=1)
-            crt_col = _evaluate_on_domain(f, domain, col_idx)
+            crt_col = ev(col_idx)
             res_col = crt_col - e1[cind1] @ y2[:, q_best]
             best_local = int(np.argmax(np.abs(res_col)))
             emax = np.abs(res_col[best_local])

@@ -39,16 +39,19 @@ def two_site_merge(a, b, block_b: int = 32, interpret: bool = False):
     B, m, k = a.shape
     _, _, n = b.shape
     grid = (pl.cdiv(B, block_b),)
+    # index maps use ``i * 0`` instead of the literal 0: under x64 a Python 0
+    # lowers to i64 while the grid index is i32, and Mosaic rejects the
+    # mixed-type index_map return (failed to legalize 'func.return')
     return pl.pallas_call(
         _merge_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((block_b, m, k), lambda i: (i, 0, 0),
+            pl.BlockSpec((block_b, m, k), lambda i: (i, i * 0, i * 0),
                          memory_space=pltpu.ANY if interpret else pltpu.VMEM),
-            pl.BlockSpec((block_b, k, n), lambda i: (i, 0, 0),
+            pl.BlockSpec((block_b, k, n), lambda i: (i, i * 0, i * 0),
                          memory_space=pltpu.ANY if interpret else pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block_b, m, n), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((block_b, m, n), lambda i: (i, i * 0, i * 0),
                                memory_space=pltpu.ANY if interpret
                                else pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, m, n), jnp.float32),
@@ -90,14 +93,14 @@ def merge_resplit_chain(a, b, w, iters: int = 8, block_b: int = 32,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((block_b, rn, r), lambda i: (i, 0, 0),
+            pl.BlockSpec((block_b, rn, r), lambda i: (i, i * 0, i * 0),
                          memory_space=pltpu.ANY if interpret else pltpu.VMEM),
-            pl.BlockSpec((block_b, r, nr), lambda i: (i, 0, 0),
+            pl.BlockSpec((block_b, r, nr), lambda i: (i, i * 0, i * 0),
                          memory_space=pltpu.ANY if interpret else pltpu.VMEM),
-            pl.BlockSpec((block_b, nr, r), lambda i: (i, 0, 0),
+            pl.BlockSpec((block_b, nr, r), lambda i: (i, i * 0, i * 0),
                          memory_space=pltpu.ANY if interpret else pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block_b, rn, r), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((block_b, rn, r), lambda i: (i, i * 0, i * 0),
                                memory_space=pltpu.ANY if interpret
                                else pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, rn, r), a.dtype),
