@@ -1,0 +1,89 @@
+"""Jitted two-site DMRG with matrix-free Lanczos/CG local solves."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ttnx import (
+    function_to_qtt,
+    heisenberg_xyz_tto,
+    id_tto,
+    laplacian,
+    qtt_sin,
+    qtto_to_matrix,
+    rand_tt,
+    ttv_decomp,
+    ttv_to_tensor,
+)
+from ttnx.solvers.dmrg_scan import (
+    cut_off_mask,
+    dmrg_eigsolve_scan,
+    dmrg_linsolve_scan,
+    dmrg_sweep,
+)
+
+
+def vec(tt):
+    return np.asarray(ttv_to_tensor(tt)).reshape(-1)
+
+
+def _system(key, d=6):
+    A = laplacian(d)
+    u_true = function_to_qtt(lambda x: np.sin(np.pi * x), d)
+    bd = np.asarray(qtto_to_matrix(A)) @ vec(u_true)
+    b = ttv_decomp(bd.reshape((2,) * d), tol=1e-14)
+    x0 = rand_tt(key, (2,) * d, rmax=4, normalise=True)
+    return A, b, u_true, x0
+
+
+def test_linsolve_spd(key):
+    A, b, u_true, x0 = _system(key)
+    x = dmrg_linsolve_scan(A, b, x0, tol=1e-12, rmax=16, n_sweeps=2,
+                           cg_iters=64)
+    rel = np.linalg.norm(vec(x) - vec(u_true)) / np.linalg.norm(vec(u_true))
+    assert rel < 1e-9
+
+
+def test_linsolve_identity_adapts_down(key):
+    d = 6
+    A = id_tto(d)
+    b = qtt_sin(d)
+    x0 = rand_tt(key, (2,) * d, rmax=4, normalise=True)
+    x = dmrg_linsolve_scan(A, b, x0, tol=1e-12, rmax=8)
+    rel = np.linalg.norm(vec(x) - vec(b)) / np.linalg.norm(vec(b))
+    assert rel < 1e-10
+    assert x.ranks == b.ranks
+
+
+def test_eigsolve_heisenberg(key):
+    d = 6
+    H = heisenberg_xyz_tto(d)
+    x0 = rand_tt(key, (2,) * d, rmax=2, normalise=True, orthogonal=True)
+    E, x = dmrg_eigsolve_scan(H, x0, tol=1e-12, rmax=12, n_sweeps=4,
+                              lanczos_iters=30)
+    w = np.linalg.eigvalsh(np.asarray(qtto_to_matrix(H)))
+    assert abs(E[-1] - w[0]) < 1e-9
+    assert max(x.ranks) > 2
+    # Lanczos Ritz values are variational upper bounds throughout
+    assert all(e >= w[0] - 1e-8 for e in E)
+
+
+def test_cutoff_mask_degeneracy():
+    # a tol cut landing inside a degenerate pair must keep the whole pair
+    s = jnp.asarray([1.0, 0.5, 0.5 - 1e-14, 1e-9, 1e-16])
+    tol = 0.4  # relative cut between the two 0.5s without the degeneracy rule
+    m = np.asarray(cut_off_mask(s, tol * 1.0 / float(jnp.linalg.norm(s)),
+                                degen_tol=1e-10))
+    # indices 0,1 kept by threshold; 2 rescued by degeneracy; 3,4 dropped
+    assert m.tolist() == [1.0, 1.0, 1.0, 0.0, 0.0]
+
+
+def test_single_compiled_program(key):
+    A, b, _, x0 = _system(key)
+    n0 = dmrg_sweep._cache_size()
+    dmrg_linsolve_scan(A, b, x0, tol=1e-12, rmax=16, n_sweeps=3)
+    n1 = dmrg_sweep._cache_size()
+    assert n1 <= n0 + 1
+    # tol / degen_tol are runtime data: changing them must not retrace
+    dmrg_linsolve_scan(A, b, x0, tol=1e-6, degen_tol=1e-8, rmax=16)
+    assert dmrg_sweep._cache_size() == n1

@@ -7,7 +7,12 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ttnx.parallel.batch import make_mesh
-from ttnx.parallel.tsqr import distributed_orthogonalize_core, tsqr
+from ttnx.parallel.tsqr import (
+    distributed_orthogonalize_core,
+    distributed_truncate_bond,
+    tsqr,
+    tsvd,
+)
 
 
 def _signfix_np(q, r):
@@ -41,6 +46,39 @@ def test_tsqr_under_jit(rng):
     fn = jax.jit(lambda x: tsqr(x, mesh))
     q, r = fn(a_sh)
     assert np.allclose(np.asarray(q) @ np.asarray(r), a, atol=1e-10)
+
+
+def test_tsvd_matches_dense(rng):
+    mesh = make_mesh(dp=8, tp=1)
+    m, k = 128, 8
+    a = rng.standard_normal((m, k))
+    a_sh = jax.device_put(jnp.asarray(a), NamedSharding(mesh, P("dp", None)))
+    u, s, vt = tsvd(a_sh, mesh)
+    u, s, vt = np.asarray(u), np.asarray(s), np.asarray(vt)
+    assert np.allclose((u * s[None, :]) @ vt, a, atol=1e-10)
+    assert np.allclose(u.T @ u, np.eye(k), atol=1e-10)
+    assert np.allclose(s, np.linalg.svd(a, compute_uv=False), atol=1e-10)
+
+
+def test_distributed_truncate_bond(rng):
+    mesh = make_mesh(dp=8, tp=1)
+    m, k, r_true = 128, 8, 3
+    a = (rng.standard_normal((m, r_true)) @ rng.standard_normal((r_true, k))
+         + 1e-9 * rng.standard_normal((m, k)))
+    a_sh = jax.device_put(jnp.asarray(a), NamedSharding(mesh, P("dp", None)))
+    left, right, keep = distributed_truncate_bond(a_sh, mesh, rel_tol=1e-6)
+    # rank detected, shapes static, masked reconstruction within rel_tol
+    assert np.asarray(keep).sum() == r_true
+    assert left.shape == (m, k) and right.shape == (k, k)
+    assert np.linalg.norm(np.asarray(left) @ np.asarray(right) - a) < 1e-6
+    # max_bond cap wins over the tail rule
+    l2, r2, k2 = distributed_truncate_bond(a_sh, mesh, rel_tol=0.0,
+                                           max_bond=2)
+    assert np.asarray(k2).sum() == 2
+    # jits without retracing shape changes
+    fn = jax.jit(lambda x: distributed_truncate_bond(x, mesh, rel_tol=1e-6))
+    l3, _, _ = fn(a_sh)
+    assert np.allclose(np.asarray(l3), np.asarray(left), atol=1e-12)
 
 
 def test_distributed_orthogonalize_core(rng):

@@ -20,7 +20,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
-__all__ = ["tsqr", "distributed_orthogonalize_core"]
+__all__ = ["tsqr", "tsvd", "distributed_orthogonalize_core",
+           "distributed_truncate_bond"]
 
 
 def _signfix(q, r):
@@ -58,6 +59,53 @@ def tsqr(a, mesh: Mesh, axis: str = "dp"):
     fn = shard_map(kernel, mesh=mesh, in_specs=(spec_in,),
                    out_specs=(spec_in, P(None, None)), check_rep=False)
     return fn(a)
+
+
+def tsvd(a, mesh: Mesh, axis: str = "dp"):
+    """Thin SVD of a row-sharded tall matrix ``a: (m, k)`` via TSQR: the only
+    collective is the ``p * k^2`` R-factor gather inside :func:`tsqr`; the
+    ``k x k`` SVD runs replicated and ``U = Q @ U_R`` is a purely local,
+    sharding-preserving matmul. Returns ``(u, s, vt)`` with ``u`` sharded
+    like ``a`` and ``s``/``vt`` replicated.
+
+    This is the distributed panel factorization behind TT rounding
+    (reference two-site truncation: /root/reference/src/tt_tools.jl:737-789),
+    where the merged bond matrix is tall: ``m = R*n`` rows vs ``k`` kept
+    singular directions.
+    """
+    q, r = tsqr(a, mesh, axis)
+    u_r, s, vt = jnp.linalg.svd(r, full_matrices=False)
+    # sign convention: first row of vt non-negative -> device-count
+    # independent factors (svd of the replicated R is already identical on
+    # every device; this also pins the per-singular-vector sign)
+    sgn = jnp.sign(vt[:, 0])
+    sgn = jnp.where(sgn == 0, 1.0, sgn)
+    return q @ (u_r * sgn[None, :]), s, vt * sgn[:, None]
+
+
+def distributed_truncate_bond(theta, mesh: Mesh, rel_tol: float = 0.0,
+                              max_bond: int | None = None, axis: str = "dp"):
+    """Truncated factorization of a row-sharded bond matrix
+    ``theta: (m, k)`` -> ``(left, right, keep)`` with ``left = U*S`` masked
+    (sharded like ``theta``), ``right = Vt`` masked (replicated), and
+    ``keep`` the 0/1 mask over the ``k`` singular directions. Shapes are
+    static: truncation is the mask, never a reshape.
+
+    Keep rule = the reference rounding criterion (relative discarded-weight
+    tail, /root/reference/src/solvers/mals.jl:42-56): drop the largest tail
+    with ``sum(tail^2) <= rel_tol^2 * ||s||^2``, capped at ``max_bond``.
+    """
+    k = theta.shape[1]
+    u, s, vt = tsvd(theta, mesh, axis)
+    tail = jnp.cumsum(jnp.flip(s * s))
+    tol2 = (rel_tol * rel_tol) * jnp.sum(s * s)
+    keep = jnp.flip(tail > tol2).astype(s.dtype)
+    if max_bond is not None and max_bond < k:
+        keep = keep * (jnp.arange(k) < max_bond).astype(s.dtype)
+    keep = keep.at[0].set(1.0)  # never drop everything
+    left = u * (s * keep)[None, :]
+    right = vt * keep[:, None]
+    return left, right, keep
 
 
 def distributed_orthogonalize_core(core, mesh: Mesh, axis: str = "dp"):

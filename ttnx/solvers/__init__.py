@@ -8,6 +8,22 @@ from ttnx.solvers.steppers import (  # noqa: F401
     crank_nicholson_method,
     rk4_method,
 )
+from ttnx.solvers.als_scan import (  # noqa: F401
+    als_linsolve_scan,
+    als_eigsolve_scan,
+)
+from ttnx.solvers.mals_scan import (  # noqa: F401
+    mals_linsolve_scan,
+    mals_eigsolve_scan,
+)
+from ttnx.solvers.dmrg_scan import (  # noqa: F401
+    dmrg_linsolve_scan,
+    dmrg_eigsolve_scan,
+)
+from ttnx.solvers.tdvp_scan import (  # noqa: F401
+    tdvp1_scan,
+    tdvp2_scan,
+)
 from ttnx.solvers.krylov import (  # noqa: F401
     krylov_linsolve,
     expm_multiply,
