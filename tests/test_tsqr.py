@@ -8,6 +8,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ttnx.parallel.batch import make_mesh
 from ttnx.parallel.tsqr import (
+    cholesky_qr2,
     distributed_orthogonalize_core,
     distributed_truncate_bond,
     tsqr,
@@ -46,6 +47,34 @@ def test_tsqr_under_jit(rng):
     fn = jax.jit(lambda x: tsqr(x, mesh))
     q, r = fn(a_sh)
     assert np.allclose(np.asarray(q) @ np.asarray(r), a, atol=1e-10)
+
+
+def test_cholesky_qr2_short_blocks(rng):
+    # local blocks are NOT tall (128/8 = 16 rows < k=64): TSQR would refuse,
+    # CholeskyQR2 is the panel that covers the (r*n, r) n=2 unfolding
+    mesh = make_mesh(dp=8, tp=1)
+    m, k = 128, 64
+    a = rng.standard_normal((m, k))
+    a_sh = jax.device_put(jnp.asarray(a), NamedSharding(mesh, P("dp", None)))
+    q, r = cholesky_qr2(a_sh, mesh)
+    q, r = np.asarray(q), np.asarray(r)
+    assert np.allclose(q @ r, a, atol=1e-9)
+    assert np.allclose(q.T @ q, np.eye(k), atol=1e-12)
+    assert np.all(np.diagonal(r) >= 0)
+    # matches dense QR up to the sign convention
+    qd, rd = _signfix_np(*np.linalg.qr(a))
+    assert np.allclose(r, rd, atol=1e-8)
+
+
+def test_tsvd_short_blocks_via_cholesky(rng):
+    mesh = make_mesh(dp=8, tp=1)
+    m, k = 128, 64  # dispatches to cholesky_qr2 internally
+    a = rng.standard_normal((m, k))
+    a_sh = jax.device_put(jnp.asarray(a), NamedSharding(mesh, P("dp", None)))
+    u, s, vt = tsvd(a_sh, mesh)
+    u, s, vt = np.asarray(u), np.asarray(s), np.asarray(vt)
+    assert np.allclose((u * s[None, :]) @ vt, a, atol=1e-9)
+    assert np.allclose(s, np.linalg.svd(a, compute_uv=False), atol=1e-9)
 
 
 def test_tsvd_matches_dense(rng):

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
-__all__ = ["tsqr", "tsvd", "distributed_orthogonalize_core",
+__all__ = ["tsqr", "tsvd", "cholesky_qr2", "distributed_orthogonalize_core",
            "distributed_truncate_bond"]
 
 
@@ -61,6 +61,50 @@ def tsqr(a, mesh: Mesh, axis: str = "dp"):
     return fn(a)
 
 
+def cholesky_qr2(a, mesh: Mesh, axis: str = "dp"):
+    """QR of a row-sharded matrix ``a: (m, k)`` by two rounds of CholeskyQR —
+    the MXU-idiomatic panel factorization: each round is one local Gram
+    matmul, one ``psum`` over ICI, one tiny replicated Cholesky, and one
+    local triangular solve. Unlike :func:`tsqr` it has **no per-block
+    tallness requirement** (works whenever ``m >= k`` globally, e.g. a
+    ``(r*n, r)`` TT-core unfolding with ``n=2`` sharded over 8 devices), and
+    it is pure matmul + elementwise work — no Householder panel on the
+    critical path.
+
+    The second round repairs the first round's ``kappa(a)^2 * eps``
+    orthogonality loss (standard CholeskyQR2); callers factorizing
+    ill-conditioned panels (kappa >~ 1e7 in f64) should use :func:`tsqr`.
+    Returns ``(q, r)``, ``q`` sharded like ``a``, ``r`` replicated with a
+    non-negative diagonal.
+    """
+    m, k = a.shape
+
+    def kernel(a_blk):
+        def cqr(x_blk):
+            g = jax.lax.psum(
+                jnp.einsum("mi,mj->ij", jnp.conj(x_blk), x_blk), axis)
+            # tiny shift keeps the Cholesky on the safe side of roundoff
+            # without perturbing R beyond eps * ||a||^2
+            eps = jnp.finfo(x_blk.real.dtype).eps
+            shift = 11 * (m * k + k * (k + 1)) * eps * jnp.trace(g).real / k
+            r = jnp.linalg.cholesky(
+                g + shift * jnp.eye(k, dtype=g.dtype), upper=True)
+            q_blk = jax.scipy.linalg.solve_triangular(
+                r.T, x_blk.T, lower=True).T
+            return q_blk, r
+        q1, r1 = cqr(a_blk)
+        q2, r2 = cqr(q1)
+        r = r2 @ r1
+        s = jnp.sign(jnp.diagonal(r).real)
+        s = jnp.where(s == 0, 1.0, s)
+        return q2 * s[None, :], r * s[:, None]
+
+    spec_in = P(axis, None)
+    fn = shard_map(kernel, mesh=mesh, in_specs=(spec_in,),
+                   out_specs=(spec_in, P(None, None)), check_rep=False)
+    return fn(a)
+
+
 def tsvd(a, mesh: Mesh, axis: str = "dp"):
     """Thin SVD of a row-sharded tall matrix ``a: (m, k)`` via TSQR: the only
     collective is the ``p * k^2`` R-factor gather inside :func:`tsqr`; the
@@ -72,8 +116,17 @@ def tsvd(a, mesh: Mesh, axis: str = "dp"):
     (reference two-site truncation: /root/reference/src/tt_tools.jl:737-789),
     where the merged bond matrix is tall: ``m = R*n`` rows vs ``k`` kept
     singular directions.
+
+    Panel method is picked by block shape: TSQR when every local block is
+    tall (``m/p >= k``), CholeskyQR2 otherwise (the ``(r*n, r)`` unfolding
+    with ``n=2`` over 8 devices lands here).
     """
-    q, r = tsqr(a, mesh, axis)
+    m, k = a.shape
+    p = mesh.shape[axis]
+    if m % p == 0 and m // p >= k:
+        q, r = tsqr(a, mesh, axis)
+    else:
+        q, r = cholesky_qr2(a, mesh, axis)
     u_r, s, vt = jnp.linalg.svd(r, full_matrices=False)
     # sign convention: first row of vt non-negative -> device-count
     # independent factors (svd of the replicated R is already identical on
