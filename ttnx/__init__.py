@@ -178,5 +178,11 @@ from ttnx.ops.operators import Δ, Δ_DN, Δ_ND, Δ_NN, Δ_P  # noqa: E402
 
 AbstractTTvector = TTVector
 AbstractTToperator = TTOperator
+# reference capitalization (reference exports TTvector/TToperator,
+# /root/reference/src/TensorTrainNumerics.jl:3)
+TTvector = TTVector
+TToperator = TTOperator
+QTTvector = QTTVector
+QTToperator = QTTOperator
 
 __version__ = "0.1.0"
