@@ -192,6 +192,22 @@ class TestGreedyCross:
         expect = np.prod(np.sin(np.pi * xs), axis=-1)
         assert np.linalg.norm(dense(tt) - expect) / np.linalg.norm(expect) < 1e-6
 
+    def test_high_rank_bordered_inverse_updates(self):
+        # 1/(1 + sum x) needs rank >> 1, so every bond takes several greedy
+        # pivots — exercising the O(r^2) bordered cross-inverse updates
+        # repeatedly; accuracy vs dense validates each update against the
+        # fresh-pinv math it replaces
+        g = np.linspace(0.0, 1.0, 12)
+
+        def f(X):
+            return 1.0 / (1.0 + np.sum(X, axis=1))
+
+        tt = tt_cross(f, [g] * 3, Greedy(tol=1e-9, rmax=12, verbose=False))
+        assert max(tt.ranks) >= 4  # the update path actually ran
+        xs = np.stack(np.meshgrid(g, g, g, indexing="ij"), axis=-1)
+        expect = 1.0 / (1.0 + np.sum(xs, axis=-1))
+        assert np.linalg.norm(dense(tt) - expect) / np.linalg.norm(expect) < 1e-5
+
 
 class TestIntegrate:
     def test_separable_exponential(self):

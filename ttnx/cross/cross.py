@@ -490,16 +490,48 @@ def _greedy_cross(f, domain, alg: Greedy, val_size, seed):
         return ev(idx).reshape(
             Jl[i].shape[0], Is[i], Jr[i + 1].shape[0])
 
+    # C_i^{-1} cache, keyed by bond: (rank, inverse). Pivot additions grow
+    # the cross matrix by one bordered row/column, so the inverse is updated
+    # by the Schur-complement block formula in O(r^2) instead of a fresh
+    # O(r^3) pinv (the reference's rank-1 mid_inv_L/U updates,
+    # tt_cross_interpolation.jl:448-470, recast as a direct inverse update).
+    _cinv_cache = {}
+
+    def _cross_matrix(i, rows, cols):
+        idx = np.concatenate(
+            [Jl[i][np.repeat(rows, len(cols))],
+             Jr[i][np.tile(cols, len(rows))]], axis=1)
+        return ev(idx).reshape(len(rows), len(cols))
+
     def cross_inv(i):
         """C_i^{-1} with C_i = f(Jl[i] x Jr[i]) at bond i."""
         r = Jl[i].shape[0]
         if Jl[i].shape[1] + Jr[i].shape[1] == 0:
             return np.ones((1, 1))
-        idx = np.concatenate(
-            [Jl[i][np.repeat(np.arange(r), r)],
-             Jr[i][np.tile(np.arange(r), r)]], axis=1)
-        C = ev(idx).reshape(r, r)
-        return np.linalg.pinv(C)
+        cached = _cinv_cache.get(i)
+        if cached is not None and cached[0] == r:
+            return cached[1]
+        if cached is not None and cached[0] == r - 1:
+            # bordered update: C' = [[C, c], [b^T, g]] with known C^{-1}
+            Ainv = cached[1]
+            c = _cross_matrix(i, np.arange(r - 1), np.array([r - 1]))
+            bT = _cross_matrix(i, np.array([r - 1]), np.arange(r - 1))
+            g = _cross_matrix(i, np.array([r - 1]), np.array([r - 1]))
+            u = Ainv @ c                       # (r-1, 1)
+            vT = bT @ Ainv                     # (1, r-1)
+            s = g[0, 0] - (bT @ u)[0, 0]       # Schur complement
+            if abs(s) > 1e-13 * max(1.0, abs(g[0, 0])):
+                inv = np.empty((r, r), dtype=np.result_type(Ainv, g))
+                inv[:-1, :-1] = Ainv + (u @ vT) / s
+                inv[:-1, -1:] = -u / s
+                inv[-1:, :-1] = -vT / s
+                inv[-1, -1] = 1.0 / s
+                _cinv_cache[i] = (r, inv)
+                return inv
+            # near-singular Schur complement: fall through to dense pinv
+        inv = np.linalg.pinv(_cross_matrix(i, np.arange(r), np.arange(r)))
+        _cinv_cache[i] = (r, inv)
+        return inv
 
     # pivot refinement by fiber argmax — avoids zero pivots when the domain
     # argmax lands on a zero of f (the reference's "zero-lock" fix,
