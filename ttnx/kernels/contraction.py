@@ -65,12 +65,15 @@ def _chain_kernel(a_ref, b_ref, w_ref, out_ref, *, iters: int):
     # normalization-free: callers pass orthonormal b/w factors so the iterate
     # stays bounded (a scalar-reduction rescale here breaks the Mosaic
     # remote compile and would waste VPU cycles anyway).
+    b_val = b_ref[:]  # load the loop-invariant factors from VMEM once
+    w_val = w_ref[:]
+
     def body(_, acc):
         c = jax.lax.dot_general(
-            acc, b_ref[:], (((2,), (1,)), ((0,), (0,))),
+            acc, b_val, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
         nxt = jax.lax.dot_general(
-            c.astype(b_ref.dtype), w_ref[:], (((2,), (1,)), ((0,), (0,))),
+            c.astype(b_val.dtype), w_val, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
         return nxt.astype(a_ref.dtype)
 
