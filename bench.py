@@ -93,9 +93,9 @@ def bench_pallas_chain():
     (ttnx.kernels.contraction.merge_resplit_chain): VMEM-resident
     intermediates instead of per-op HBM round trips.
 
-    Measured on the v5e chip 2026-08-19: 35.4 TFLOP/s at block_b=16/32
-    (block_b=64 exceeds VMEM and is rejected by the remote Mosaic compile),
-    vs ~28 TFLOP/s for the XLA fori_loop path."""
+    Measured on the v5e chip 2026-08-19: 42.0 TFLOP/s at block_b=32 with
+    unroll=4 (35.4 at unroll=1; block_b=64 exceeds VMEM and is rejected by
+    the remote Mosaic compile), vs ~28 TFLOP/s for the XLA fori_loop path."""
     from ttnx.kernels.contraction import merge_resplit_chain
 
     r, n, batch, iters = 64, 2, 4096, 128
@@ -106,7 +106,8 @@ def bench_pallas_chain():
     b = jnp.asarray(np.swapaxes(b_host, 1, 2), dtype=jnp.bfloat16)
     w = jnp.asarray(np.linalg.qr(rng.standard_normal((batch, n * r, r)))[0],
                     dtype=jnp.bfloat16)
-    fn = lambda a, b, w: merge_resplit_chain(a, b, w, iters=iters, block_b=32)
+    fn = lambda a, b, w: merge_resplit_chain(a, b, w, iters=iters,
+                                             block_b=32, unroll=4)
     dt_total = _time_fn(fn, a, b, w, warmup=1, iters=2)
     flops = 2 * (2.0 * batch * (r * n) * r * (n * r)) * iters
     return flops / dt_total / 1e9

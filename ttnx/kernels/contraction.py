@@ -59,16 +59,19 @@ def two_site_merge(a, b, block_b: int = 32, interpret: bool = False):
     )(a, b)
 
 
-def _chain_kernel(a_ref, b_ref, w_ref, out_ref, *, iters: int):
+def _chain_kernel(a_ref, b_ref, w_ref, out_ref, *, iters: int, unroll: int):
     # acc: (Bt, rn, r); b: (Bt, r, nr); w: (Bt, nr, r)
     # Chain merge + re-split entirely in VMEM/registers. The chain is
     # normalization-free: callers pass orthonormal b/w factors so the iterate
     # stays bounded (a scalar-reduction rescale here breaks the Mosaic
-    # remote compile and would waste VPU cycles anyway).
+    # remote compile and would waste VPU cycles anyway). Accumulation must
+    # stay f32: Mosaic rejects bf16 matmul accumulators ("Expected matmul
+    # acc to be 32-bit"), so the per-iteration f32->bf16 converts are the
+    # hardware-mandated floor.
     b_val = b_ref[:]  # load the loop-invariant factors from VMEM once
     w_val = w_ref[:]
 
-    def body(_, acc):
+    def step(acc):
         c = jax.lax.dot_general(
             acc, b_val, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
@@ -77,21 +80,34 @@ def _chain_kernel(a_ref, b_ref, w_ref, out_ref, *, iters: int):
             preferred_element_type=jnp.float32)
         return nxt.astype(a_ref.dtype)
 
-    out_ref[:] = jax.lax.fori_loop(0, iters, body, a_ref[:])
+    def body(_, acc):
+        for _k in range(unroll):  # static unroll hides fori_loop latency
+            acc = step(acc)
+        return acc
+
+    out_ref[:] = jax.lax.fori_loop(0, iters // unroll, body, a_ref[:])
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("iters", "block_b", "interpret"))
+                   static_argnames=("iters", "block_b", "interpret",
+                                    "unroll"))
 def merge_resplit_chain(a, b, w, iters: int = 8, block_b: int = 32,
-                        interpret: bool = False):
+                        interpret: bool = False, unroll: int = 1):
     """``iters`` rounds of (merge, re-split, rescale) with all intermediates
     resident in VMEM — the fused version of bench.py's chained contraction.
     ``a: (B, r*n, r)``, ``b: (B, r, n*r)``, ``w: (B, n*r, r)``.
+
+    ``unroll`` statically unrolls the in-kernel loop by that factor (must
+    divide ``iters``). Measured on v5e (2026-08-19,
+    scripts/probe_pallas_unroll.py): unroll=4 reaches 42.0 TFLOP/s vs 33.8
+    at unroll=1 — the fori_loop trip overhead is ~20% at this block size.
     """
+    if iters % unroll != 0:
+        raise ValueError(f"unroll={unroll} must divide iters={iters}")
     B, rn, r = a.shape
     _, _, nr = b.shape
     grid = (pl.cdiv(B, block_b),)
-    kernel = functools.partial(_chain_kernel, iters=iters)
+    kernel = functools.partial(_chain_kernel, iters=iters, unroll=unroll)
     return pl.pallas_call(
         kernel,
         grid=grid,
