@@ -78,6 +78,48 @@ class TestExpmMultiply:
         assert np.linalg.norm(out - expect) < 1e-9 * np.linalg.norm(expect)
 
 
+class TestExpintegratorTT:
+    """TT-valued Arnoldi exp(tA)v — the reference's expintegrator workload
+    (/root/reference/examples/euler_stepping.jl:21,
+    /root/reference/examples/optimize_methods.jl:17)."""
+
+    def test_matches_dense_expm(self, key):
+        from ttnx import expintegrator_tt, rand_tto, tto_to_tensor
+
+        d = 4
+        A = rand_tto(key, (2,) * d, rmax=2)
+        v = rand_tt(jax.random.fold_in(key, 1), (2,) * d, rmax=2)
+        out, info = expintegrator_tt(A, 0.3, v, krylov_dim=20)
+        dense_A = np.asarray(tto_to_tensor(A)).reshape(2 ** d, 2 ** d)
+        expect = scipy.linalg.expm(0.3 * dense_A) @ vec(v)
+        err = np.linalg.norm(vec(out) - expect) / np.linalg.norm(expect)
+        assert err < 1e-10
+        assert info["krylov_dim"] <= 2 ** d + 1
+
+    def test_rounded_iteration(self, key):
+        from ttnx import expintegrator_tt, rand_tto, tto_to_tensor
+
+        d = 4
+        A = rand_tto(key, (2,) * d, rmax=2)
+        v = rand_tt(jax.random.fold_in(key, 1), (2,) * d, rmax=2)
+        out, _ = expintegrator_tt(A, 0.2, v, krylov_dim=20, max_bond=6)
+        assert max(out.ranks) <= 6
+        dense_A = np.asarray(tto_to_tensor(A)).reshape(2 ** d, 2 ** d)
+        expect = scipy.linalg.expm(0.2 * dense_A) @ vec(v)
+        err = np.linalg.norm(vec(out) - expect) / np.linalg.norm(expect)
+        assert err < 1e-8
+
+    def test_zero_vector(self, key):
+        from ttnx import expintegrator_tt, rand_tto, zeros_tt
+
+        d = 3
+        A = rand_tto(key, (2,) * d, rmax=2)
+        v = zeros_tt((2,) * d)
+        out, info = expintegrator_tt(A, 0.5, v)
+        assert info["krylov_dim"] == 0
+        assert np.allclose(vec(out), 0.0)
+
+
 class TestTTKrylovSolvers:
     def _system(self, key, d=5):
         # well-conditioned operator: convergence in a few Krylov iterations

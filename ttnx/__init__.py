@@ -151,6 +151,7 @@ from ttnx.solvers.steppers import (  # noqa: E402
 from ttnx.solvers.krylov import (  # noqa: E402
     krylov_linsolve,
     expm_multiply,
+    expintegrator_tt,
 )
 from ttnx.cross.cross import (  # noqa: E402
     MaxVol,

@@ -27,6 +27,7 @@ from ttnx.solvers.tdvp_scan import (  # noqa: F401
 from ttnx.solvers.krylov import (  # noqa: F401
     krylov_linsolve,
     expm_multiply,
+    expintegrator_tt,
     gmres_tt,
     bicgstab_tt,
     cg_tt,

@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import Callable
 
 import numpy as np
+import scipy.linalg
 import jax.numpy as jnp
 import jax.scipy.linalg
 
@@ -27,8 +28,8 @@ from ttnx.core.algebra import add, dot, matvec, norm, scale, sub
 from ttnx.core.canonical import orthogonalize, tt_round
 from ttnx.core.tt import TTOperator, TTVector
 
-__all__ = ["expm_multiply", "krylov_linsolve", "gmres_tt", "bicgstab_tt",
-           "cg_tt"]
+__all__ = ["expm_multiply", "expintegrator_tt", "krylov_linsolve",
+           "gmres_tt", "bicgstab_tt", "cg_tt"]
 
 
 # ---------------------------------------------------------------------------
@@ -80,6 +81,53 @@ def expm_multiply(f: Callable, t, v, tol: float = 1e-12, krylov_dim: int = 30,
     for i in range(m_used):
         out = out + y[i] * V[i]
     return out.reshape(shape).astype(dtype)
+
+
+def expintegrator_tt(A: TTOperator, t, v: TTVector, krylov_dim: int = 30,
+                     tol: float = 1e-12, max_bond: int = 0):
+    """``exp(t * A) v`` with Arnoldi built directly in TT arithmetic — the
+    TT-valued analog of KrylovKit's ``expintegrator`` over the reference's
+    VectorInterface extension (/root/reference/src/solvers/euler.jl:9-74,
+    /root/reference/ext/TensorTrainNumericsVectorInterfaceExt). Every basis
+    update is rank-rounded explicitly (``max_bond``; exact orthogonalize
+    when 0) instead of through the ``KRYLOV_ROUND_RANK`` global.
+
+    Returns ``(result, info)`` where ``info`` carries the Krylov dimension
+    used and the standard ``h_{m+1,m} |y_m|`` error estimate.
+    """
+    rnd = _rounder(max_bond)
+    beta = float(norm(v))
+    if beta == 0.0:
+        return v, {"krylov_dim": 0, "error_estimate": 0.0}
+    V = [scale(1.0 / beta, v)]
+    H = np.zeros((krylov_dim + 1, krylov_dim), dtype=np.complex128)
+    m_used = 0
+    err_est = np.inf
+    for j in range(krylov_dim):
+        w = rnd(matvec(A, V[j]))
+        for i in range(j + 1):
+            c = complex(dot(V[i], w))
+            H[i, j] = c
+            w = sub(w, scale(c, V[i]))
+        w = rnd(w)
+        hn = float(norm(w))
+        H[j + 1, j] = hn
+        m_used = j + 1
+        # host-side expm: the small matrix grows every iteration, so the
+        # jax version would recompile per Krylov step
+        y = scipy.linalg.expm(t * H[:m_used, :m_used])[:, 0]
+        err_est = abs(t) * hn * abs(y[-1]) * beta
+        if hn < 1e-14 or err_est < tol * beta:
+            break
+        V.append(scale(1.0 / hn, w))
+    coeffs = beta * y[:m_used]
+    if not v.is_complex and np.allclose(np.imag(coeffs), 0):
+        coeffs = np.real(coeffs)
+    acc = scale(coeffs[0], V[0])
+    for i in range(1, m_used):
+        acc = add(acc, scale(coeffs[i], V[i]))
+    out = rnd(acc)
+    return out, {"krylov_dim": m_used, "error_estimate": err_est}
 
 
 # ---------------------------------------------------------------------------
