@@ -1,4 +1,7 @@
-"""Probe the unrolled / bf16-accumulate Pallas chain kernel on the real TPU.
+"""Probe the unrolled Pallas chain kernel on the real TPU.
+
+Mosaic rejects bf16 matmul accumulators ("Expected matmul acc to be 32-bit"),
+so there is no bf16-accumulate axis to sweep — only block size and unroll.
 
 One process = one remote-compile session. Each config wrapped in try/except
 so a Mosaic rejection doesn't kill the sweep. Prints one JSON line per config.
@@ -32,22 +35,19 @@ def main():
                     dtype=jnp.bfloat16)
 
     iters = 128
-    # (block_b, unroll, accum_bf16)
+    # (block_b, unroll)
     configs = [
-        (32, 1, False),   # baseline (35.4 TFLOP/s measured previously)
-        (32, 4, False),
-        (32, 8, False),
-        (32, 4, True),
-        (32, 8, True),
-        (16, 8, True),
-        (32, 16, True),
+        (32, 1),   # baseline (35.4 TFLOP/s measured previously)
+        (32, 4),
+        (32, 8),
+        (16, 8),
+        (32, 16),
     ]
-    for block_b, unroll, accum in configs:
+    for block_b, unroll in configs:
         t_start = time.perf_counter()
         try:
             fn = lambda: merge_resplit_chain(
-                a, b, w, iters=iters, block_b=block_b, unroll=unroll,
-                accum_bf16=accum)
+                a, b, w, iters=iters, block_b=block_b, unroll=unroll)
             _sync(fn())
             compile_s = time.perf_counter() - t_start
             reps = 4
@@ -57,13 +57,12 @@ def main():
             dt = (time.perf_counter() - t0) / reps
             flops = 2 * (2.0 * batch * (r * n) * r * (n * r)) * iters
             print(json.dumps({
-                "block_b": block_b, "unroll": unroll, "accum_bf16": accum,
+                "block_b": block_b, "unroll": unroll,
                 "gflops": round(flops / dt / 1e9, 1),
                 "dt_ms": round(dt * 1e3, 3),
                 "compile_s": round(compile_s, 1)}), flush=True)
         except Exception as e:  # noqa: BLE001
             print(json.dumps({"block_b": block_b, "unroll": unroll,
-                              "accum_bf16": accum,
                               "error": str(e)[:300]}), flush=True)
 
 

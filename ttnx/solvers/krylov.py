@@ -95,6 +95,8 @@ def expintegrator_tt(A: TTOperator, t, v: TTVector, krylov_dim: int = 30,
     Returns ``(result, info)`` where ``info`` carries the Krylov dimension
     used and the standard ``h_{m+1,m} |y_m|`` error estimate.
     """
+    if krylov_dim < 1:
+        raise ValueError(f"krylov_dim must be >= 1, got {krylov_dim}")
     rnd = _rounder(max_bond)
     beta = float(norm(v))
     if beta == 0.0:
@@ -106,8 +108,11 @@ def expintegrator_tt(A: TTOperator, t, v: TTVector, krylov_dim: int = 30,
     for j in range(krylov_dim):
         w = rnd(matvec(A, V[j]))
         for i in range(j + 1):
-            c = complex(dot(V[i], w))
-            H[i, j] = c
+            # keep the raw jax scalar in the Gram-Schmidt update: wrapping it
+            # in Python complex() would promote every basis vector (and the
+            # result) to complex128 for real input
+            c = dot(V[i], w)
+            H[i, j] = complex(c)
             w = sub(w, scale(c, V[i]))
         w = rnd(w)
         hn = float(norm(w))
@@ -165,8 +170,8 @@ def gmres_tt(op: Callable, b: TTVector, x0: TTVector, krylovdim: int = 8,
         for j in range(krylovdim):
             w = op(V[j])
             for i in range(j + 1):
-                c = complex(dot(V[i], w))
-                H[i, j] = c
+                c = dot(V[i], w)  # raw jax scalar: no complex promotion
+                H[i, j] = complex(c)
                 w = sub(w, scale(c, V[i]))
             w = rnd(w)
             hn = float(norm(w))
@@ -201,13 +206,13 @@ def bicgstab_tt(op: Callable, b: TTVector, x0: TTVector, maxiter: int = 20,
     x = rnd(x0)
     r = rnd(sub(b, op(x)))
     r0 = r
-    rho = alpha = omega = 1.0 + 0.0j
+    rho = alpha = omega = 1.0
     p = v = None
     rnorm0 = max(float(norm(r)), 1e-300)
     it = 0
     while it < maxiter:
         it += 1
-        rho_new = complex(dot(r0, r))
+        rho_new = dot(r0, r)  # raw jax scalar: no complex promotion
         breakdown = abs(rho_new) < 1e-14 * rnorm0 ** 2
         if not breakdown:
             if p is None:
@@ -216,7 +221,7 @@ def bicgstab_tt(op: Callable, b: TTVector, x0: TTVector, maxiter: int = 20,
                 beta = (rho_new / rho) * (alpha / omega)
                 p = rnd(add(r, scale(beta, sub(p, scale(omega, v)))))
             v = op(p)
-            denom = complex(dot(r0, v))
+            denom = dot(r0, v)
             breakdown = abs(denom) < 1e-300
         if breakdown:
             # restart from the true residual
@@ -224,7 +229,7 @@ def bicgstab_tt(op: Callable, b: TTVector, x0: TTVector, maxiter: int = 20,
             if float(norm(r)) <= tol:
                 return x
             r0 = r
-            rho = alpha = omega = 1.0 + 0.0j
+            rho = alpha = omega = 1.0
             p = v = None
             continue
         alpha = rho_new / denom
@@ -233,15 +238,15 @@ def bicgstab_tt(op: Callable, b: TTVector, x0: TTVector, maxiter: int = 20,
             x = rnd(add(x, scale(alpha, p)))
             return x
         t_vec = op(s)
-        tt_norm2 = complex(dot(t_vec, t_vec))
+        tt_norm2 = dot(t_vec, t_vec)
         if abs(tt_norm2) < 1e-300:
             x = rnd(add(x, scale(alpha, p)))
             r = rnd(sub(b, op(x)))
             r0 = r
-            rho = alpha = omega = 1.0 + 0.0j
+            rho = alpha = omega = 1.0
             p = v = None
             continue
-        omega = complex(dot(t_vec, s)) / tt_norm2
+        omega = dot(t_vec, s) / tt_norm2
         x = rnd(add(add(x, scale(alpha, p)), scale(omega, s)))
         r = rnd(sub(s, scale(omega, t_vec)))
         rho = rho_new
@@ -257,15 +262,15 @@ def cg_tt(op: Callable, b: TTVector, x0: TTVector, maxiter: int = 100,
     x = rnd(x0)
     r = rnd(sub(b, op(x)))
     p = r
-    rs = complex(dot(r, r))
+    rs = dot(r, r)  # raw jax scalar: no complex promotion
     for _ in range(maxiter):
         if abs(rs) ** 0.5 <= tol:
             return x
         Ap = op(p)
-        alpha = rs / complex(dot(p, Ap))
+        alpha = rs / dot(p, Ap)
         x = rnd(add(x, scale(alpha, p)))
         r = rnd(sub(r, scale(alpha, Ap)))
-        rs_new = complex(dot(r, r))
+        rs_new = dot(r, r)
         p = rnd(add(r, scale(rs_new / rs, p)))
         rs = rs_new
     return x
