@@ -149,3 +149,77 @@ class TestEntropyQTT:
         s = q.entanglement_entropy()
         # separable function: zero entropy at the dimension boundary (bond 3)
         assert abs(s[2]) < 1e-10
+
+
+class TestMatricizePartial:
+    # /root/reference/src/tt_tools.jl:694-705 — matricize(qtt, core)
+    def test_full_chain_matches_dense(self, key):
+        from ttnx import matricize
+
+        x = rand_tt(key, (2,) * 5, rmax=3)
+        assert np.allclose(np.asarray(matricize(x)), vec(x), atol=1e-12)
+
+    def test_partial_chain_reads_trailing_bit0(self, key):
+        from ttnx import matricize
+
+        x = rand_tt(key, (2,) * 6, rmax=3)
+        dense = np.asarray(ttv_to_tensor(x))
+        for core in (1, 3, 5):
+            got = np.asarray(matricize(x, core))
+            expect = dense[(slice(None),) * core + (0,) * (6 - core)].reshape(-1)
+            assert got.shape == (2 ** core,)
+            assert np.allclose(got, expect, atol=1e-12)
+
+    def test_core_out_of_range(self, key):
+        from ttnx import matricize
+
+        x = rand_tt(key, (2,) * 4, rmax=2)
+        with pytest.raises(ValueError):
+            matricize(x, 0)
+        with pytest.raises(ValueError):
+            matricize(x, 5)
+
+
+class TestOtDescription:
+    # /root/reference/src/tt_tools.jl:589-629 — show prints canonical status
+    def test_repr_reports_canonical_form(self, key):
+        from ttnx.core.canonical import orthogonalize
+
+        x = rand_tt(key, (2,) * 4, rmax=2)
+        assert "none" in repr(x)
+        y = orthogonalize(x, 3)
+        assert "center @ site 3" in repr(y) or "left-canonical" in repr(y)
+        z = orthogonalize(x, 0)
+        assert "center @ site 0" in repr(z)
+
+    def test_operator_repr_has_ot(self):
+        A = id_tto(3)
+        assert "ot=" in repr(A)
+
+
+class TestComplexIterativeEigmin:
+    # /root/reference/src/solvers/als.jl:72-88 — LOBPCG path handles complex
+    def test_complex_lobpcg_matches_dense(self, key):
+        from ttnx.solvers.als import _local_eigmin, local_matrix
+
+        rng = np.random.default_rng(3)
+        rl, n, rr, rA = 4, 2, 4, 3
+        L = jnp.asarray(rng.standard_normal((rl, rA, rl))
+                        + 1j * rng.standard_normal((rl, rA, rl)))
+        R = jnp.asarray(rng.standard_normal((rr, rA, rr))
+                        + 1j * rng.standard_normal((rr, rA, rr)))
+        Ac = jnp.asarray(rng.standard_normal((rA, n, n, rA))
+                         + 1j * rng.standard_normal((rA, n, n, rA)))
+        v0 = jnp.asarray(rng.standard_normal((rl, n, rr))
+                         + 1j * rng.standard_normal((rl, n, rr)))
+        K = local_matrix(L, Ac, R)
+        K = 0.5 * (K + K.conj().T)
+        w_ref = np.linalg.eigvalsh(np.asarray(K))[0]
+        lam, x = _local_eigmin(L, Ac, R, v0, it_solver=True, itslv_thresh=1,
+                               maxiter=300, tol=1e-10)
+        assert x.dtype == v0.dtype
+        assert abs(float(lam) - w_ref) < 1e-6 * max(1.0, abs(w_ref))
+        # Rayleigh quotient confirms the eigenvector too
+        xv = np.asarray(x).reshape(-1)
+        rq = (xv.conj() @ np.asarray(K) @ xv).real / (xv.conj() @ xv).real
+        assert abs(rq - w_ref) < 1e-6 * max(1.0, abs(w_ref))

@@ -138,14 +138,27 @@ def tto_decomp(tensor, index: int = 0, tol: float = 1e-12) -> TTOperator:
 
 
 def matricize(qtt: TTVector, core: int | None = None):
-    """Flatten a QTT state to its grid vector of length ``2^core``.
+    """Flatten a QTT state to its grid vector of length ``prod(dims[:core])``.
 
-    With big-endian cores and C-order reshape this is exactly
+    With big-endian cores and C-order reshape the full-chain case is exactly
     ``ttv_to_tensor(...).reshape(-1)`` (/root/reference/src/tt_tools.jl:694-705).
-    ``core`` defaults to the full chain length.
+    For ``core < N`` the trailing sites are read at physical index 0 — the
+    reference indexes the dense tensor with only ``core`` bit indices, which
+    is Julia's implicit trailing-index-1 convention — computed here by
+    contracting the trailing cores into a right boundary vector instead of
+    densifying all ``2^N`` entries. ``core`` defaults to the chain length.
     """
     if core is None:
         core = qtt.N
-    if core != qtt.N:
-        raise ValueError("matricize reads the full chain; core must equal N")
-    return ttv_to_tensor(qtt).reshape(-1)
+    if not 1 <= core <= qtt.N:
+        raise ValueError(f"core must be in [1, {qtt.N}], got {core}")
+    # Right boundary: trailing cores contracted at physical index 0.
+    right = jnp.ones((1,), dtype=qtt.cores[-1].dtype)
+    for k in range(qtt.N - 1, core - 1, -1):
+        right = qtt.cores[k][:, 0, :] @ right
+    # Progressive contraction of the leading `core` sites.
+    P = qtt.cores[0].reshape(qtt.dims[0], qtt.ranks[1])
+    for k in range(1, core):
+        r, n, rn = qtt.cores[k].shape
+        P = (P @ qtt.cores[k].reshape(r, n * rn)).reshape(-1, rn)
+    return (P @ right).reshape(-1)

@@ -147,7 +147,7 @@ class TTVector:
     def __repr__(self):
         return (
             f"TTVector(dtype={self.dtype}, sites={self.N}, dims={self.dims}, "
-            f"ranks={self.ranks})"
+            f"ranks={self.ranks}, ot={_ot_description(self.ot)})"
         )
 
 
@@ -272,8 +272,28 @@ class TTOperator:
     def __repr__(self):
         return (
             f"TTOperator(dtype={self.dtype}, sites={self.N}, dims={self.dims}, "
-            f"ranks={self.ranks})"
+            f"ranks={self.ranks}, ot={_ot_description(self.ot)})"
         )
+
+
+def _ot_description(ot) -> str:
+    """Human-readable canonical-form summary of the per-site ot flags
+    (/root/reference/src/tt_tools.jl:589-601)."""
+    ot = tuple(int(o) for o in ot)
+    if all(o == 0 for o in ot):
+        return "none"
+    if all(o == 1 for o in ot):
+        return "left-canonical"
+    if all(o == -1 for o in ot):
+        return "right-canonical"
+    zeros_at = [i for i, o in enumerate(ot) if o == 0]
+    if len(zeros_at) == 1:
+        c = zeros_at[0]
+        left_ok = all(o == 1 for o in ot[:c])
+        right_ok = all(o == -1 for o in ot[c + 1:])
+        if left_ok and right_ok:
+            return f"center @ site {c}"
+    return str(list(ot))
 
 
 # ---------------------------------------------------------------------------

@@ -121,16 +121,32 @@ def _local_solve(L, Ac, R, Lb, bc, Rb):
 def _local_eigmin(L, Ac, R, v0, it_solver=False, itslv_thresh=1024,
                   maxiter=200, tol=1e-8):
     """Smallest eigenpair of the local operator (reference K_eigmin
-    als.jl:72-88): dense ``eigh`` below the threshold, LOBPCG above."""
+    als.jl:72-88): dense ``eigh`` below the threshold, LOBPCG above.
+
+    Complex Hermitian problems take the iterative path too (the reference's
+    LOBPCG handles complex natively): ``K = A + iB`` is embedded as the real
+    symmetric ``[[A, -B], [B, A]]`` whose spectrum doubles K's, so eigmin is
+    preserved and the eigenvector halves recombine as ``x_re + i x_im``."""
     shape = v0.shape
     m = int(np.prod(shape))
-    if it_solver and m > itslv_thresh and not jnp.issubdtype(v0.dtype, jnp.complexfloating):
+    if it_solver and m > itslv_thresh:
         from jax.experimental.sparse.linalg import lobpcg_standard
 
         # lobpcg_standard finds the LARGEST eigenvalues; shift-invert with a
         # spectral bound: eigmin(K) = sigma - eigmax(sigma*I - K).
         K = local_matrix(L, Ac, R)
         K = 0.5 * (K + K.conj().T)
+        if jnp.issubdtype(v0.dtype, jnp.complexfloating):
+            Kr = jnp.block([[K.real, -K.imag], [K.imag, K.real]])
+            w0 = jnp.concatenate([v0.reshape(m).real, v0.reshape(m).imag])
+            sigma = jnp.linalg.norm(Kr, ord=1)
+            shifted = sigma * jnp.eye(2 * m, dtype=Kr.dtype) - Kr
+            theta, U, _ = lobpcg_standard(shifted, w0[:, None], m=maxiter,
+                                          tol=tol)
+            lam = sigma - theta[0]
+            x = U[:m, 0] + 1j * U[m:, 0]
+            x = x / jnp.linalg.norm(x)
+            return lam.astype(v0.real.dtype), x.astype(v0.dtype).reshape(shape)
         sigma = jnp.linalg.norm(K, ord=1)  # upper bound on spectral radius
         shifted = sigma * jnp.eye(m, dtype=K.dtype) - K
         theta, U, _ = lobpcg_standard(shifted, v0.reshape(m, 1), m=maxiter,

@@ -71,8 +71,16 @@ def tt_round_scan(y, masks_y, R_out: int, masks_out):
         T, = carry  # (R_out, R) transfer into this site
         core, m_r_out = inp
         c = jnp.einsum("ab,bnc->anc", T, core)        # (R_out, n, R)
-        u, s, vt = jnp.linalg.svd(c.reshape(R_out * n, R),
-                                  full_matrices=False)
+        cm = c.reshape(R_out * n, R)
+        if R_out * n < R:
+            # A WIDE svd inside lax.scan SIGABRTs the remote TPU compiler
+            # (xla::TransposeFolding, measured 2026-08-20,
+            # scripts/probe_svd_variants.py); the tall transpose compiles
+            # and is mathematically identical: cm = vt2.T @ diag(s) @ ut.T.
+            ut, s, vt2 = jnp.linalg.svd(cm.T, full_matrices=False)
+            u, vt = vt2.T, ut.T
+        else:
+            u, s, vt = jnp.linalg.svd(cm, full_matrices=False)
         k = min(R_out, R)
         u_k = u[:, :k] * m_r_out[None, :k]
         pad = jnp.zeros((R_out * n, R_out - k), dtype=u.dtype)
