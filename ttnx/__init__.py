@@ -172,6 +172,15 @@ from ttnx.utils.convert import (  # noqa: E402
     from_reference_layout,
 )
 from ttnx.utils.checkpoint import save_tt, load_tt  # noqa: E402
+from ttnx.config import (  # noqa: E402
+    ALSConfig,
+    DMRGConfig,
+    KrylovConfig,
+    MALSConfig,
+    TDVPConfig,
+    matmul_precision,
+)
+from ttnx.utils.profiling import SolverTelemetry, Timer  # noqa: E402
 
 # reference-name aliases
 from ttnx.cross.cross import DMRG  # noqa: E402  (the cross algorithm config)

@@ -20,6 +20,8 @@ The scan-based padded-rank variant used for jit/vmap/sharding lives in
 
 from __future__ import annotations
 
+import time
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -202,14 +204,23 @@ def _move_left(cores, i, V):
 
 def als_linsolve(A: TTOperator, b: TTVector, x0: TTVector, sweep_count: int = 2,
                  it_solver: bool = False, r_itsolver: int = 5000,
-                 return_info: bool = False):
+                 return_info: bool = False, config=None, telemetry=None):
     """Solve ``A x = b`` with fixed ranks taken from ``x0``
     (reference als_linsolve /root/reference/src/solvers/als.jl:161-225).
 
     ``sweep_count`` counts half-sweeps exactly like the reference: 2 = one
     forward + one backward half-sweep; odd values end after a forward pass.
+
+    ``config`` (:class:`ttnx.config.ALSConfig`) overrides the option
+    defaults; ``telemetry`` (:class:`ttnx.utils.profiling.SolverTelemetry`)
+    collects per-half-sweep residuals, rank history, local-solve counts and
+    wall time (costs one extra MPO·MPS + norm per half sweep).
     """
     del it_solver, r_itsolver  # dense local solves; sizes here are small
+    if config is not None:
+        sweep_count = config.sweep_count
+        return_info = config.return_info
+    t_start = time.perf_counter()
     d = A.N
     x = orthogonalize(x0, 0)
     dt = jnp.result_type(A.dtype, b.dtype, x.dtype)
@@ -226,6 +237,14 @@ def als_linsolve(A: TTOperator, b: TTVector, x0: TTVector, sweep_count: int = 2,
     Lb = [None] * (d + 1)
     Lb[0] = _ones_env2(dt)
 
+    def _telemetry_sweep():
+        if telemetry is None:
+            return
+        cur = TTVector(cores)
+        res = float(norm(sub(matvec(A, cur), b)) / jnp.maximum(
+            norm(b), jnp.finfo(dt).eps))
+        telemetry.record_sweep(residual=res, max_rank=max(cur.ranks))
+
     nsweeps = 0
     while nsweeps < sweep_count:
         nsweeps += 1
@@ -235,6 +254,9 @@ def als_linsolve(A: TTOperator, b: TTVector, x0: TTVector, sweep_count: int = 2,
             _move_right(cores, i, V)
             L[i + 1] = update_left_env(L[i], cores[i], A.cores[i])
             Lb[i + 1] = update_left_env_b(Lb[i], cores[i], b.cores[i])
+            if telemetry is not None:
+                telemetry.local_solves += 1
+        _telemetry_sweep()
         if nsweeps >= sweep_count:
             break
         nsweeps += 1
@@ -244,8 +266,13 @@ def als_linsolve(A: TTOperator, b: TTVector, x0: TTVector, sweep_count: int = 2,
             _move_left(cores, i, V)
             R[i] = update_right_env(R[i + 1], cores[i], A.cores[i])
             Rb[i] = update_right_env_b(Rb[i + 1], cores[i], b.cores[i])
+            if telemetry is not None:
+                telemetry.local_solves += 1
+        _telemetry_sweep()
 
     out = TTVector(cores)
+    if telemetry is not None:
+        telemetry.wall_seconds += time.perf_counter() - t_start
     if return_info:
         res = float(norm(sub(matvec(A, out), b)) / jnp.maximum(
             norm(b), jnp.finfo(dt).eps))
@@ -256,13 +283,16 @@ def als_linsolve(A: TTOperator, b: TTVector, x0: TTVector, sweep_count: int = 2,
 def als_eigsolve(A: TTOperator, x0: TTVector, sweep_schedule=None,
                  rmax_schedule=None, noise_schedule=None,
                  it_solver: bool = False, itslv_thresh: int = 1024,
-                 maxiter: int = 200, linsolv_tol: float = 1e-8, key=None):
+                 maxiter: int = 200, linsolv_tol: float = 1e-8, key=None,
+                 telemetry=None):
     """Smallest eigenpair of ``A`` by Rayleigh-quotient ALS with a staged
     rank-growth schedule (reference als_eigsolve
     /root/reference/src/solvers/als.jl:251-321).
 
     Returns ``(E, x)`` where ``E`` is the per-microstep eigenvalue history.
+    ``telemetry`` collects the eigenvalue/rank history and local-solve count.
     """
+    t_start = time.perf_counter()
     if sweep_schedule is None:
         sweep_schedule = [2]
     if rmax_schedule is None:
@@ -290,6 +320,10 @@ def als_eigsolve(A: TTOperator, x0: TTVector, sweep_schedule=None,
                                it_solver=it_solver, itslv_thresh=itslv_thresh,
                                maxiter=maxiter, tol=linsolv_tol)
         E.append(float(jnp.real(lam)))
+        if telemetry is not None:
+            telemetry.local_solves += 1
+            telemetry.record_sweep(energy=E[-1],
+                                   max_rank=max(TTVector(cores).ranks))
         return V
 
     nsweeps = 0
@@ -299,6 +333,8 @@ def als_eigsolve(A: TTOperator, x0: TTVector, sweep_schedule=None,
         if nsweeps == sweep_schedule[i_schedule]:
             i_schedule += 1
             if i_schedule >= len(sweep_schedule):
+                if telemetry is not None:
+                    telemetry.wall_seconds += time.perf_counter() - t_start
                 return np.asarray(E), TTVector(cores)
             x = TTVector(cores)
             x = increase_ranks(x, rmax_schedule[i_schedule],
@@ -316,6 +352,8 @@ def als_eigsolve(A: TTOperator, x0: TTVector, sweep_schedule=None,
             V = eig_site(i)
             _move_left(cores, i, V)
             R[i] = update_right_env(R[i + 1], cores[i], A.cores[i])
+    if telemetry is not None:
+        telemetry.wall_seconds += time.perf_counter() - t_start
     return np.asarray(E), TTVector(cores)
 
 

@@ -11,6 +11,7 @@ dmrg.jl:99-168). Iterative local solves use jax CG / LOBPCG.
 from __future__ import annotations
 
 import math
+import time
 
 import numpy as np
 import jax.numpy as jnp
@@ -296,9 +297,22 @@ def dmrg_linsolve(A: TTOperator, b: TTVector, x0: TTVector, n_sites: int = 2,
                   tol: float = 1e-12, sweep_schedule=None, rmax_schedule=None,
                   it_solver: bool = True, linsolv_maxiter: int = 200,
                   linsolv_tol: float | None = None, itslv_thresh: int = 256,
-                  return_info: bool = False, verbose: bool = False):
+                  return_info: bool = False, verbose: bool = False,
+                  config=None, telemetry=None):
     """Solve ``A x = b`` with N-site DMRG sweeps
-    (reference dmrg_linsolve /root/reference/src/solvers/dmrg.jl:385-473)."""
+    (reference dmrg_linsolve /root/reference/src/solvers/dmrg.jl:385-473).
+
+    ``config`` (:class:`ttnx.config.DMRGConfig`) overrides the option
+    defaults; ``telemetry`` collects rank history, solve counts, wall time."""
+    if config is not None:
+        n_sites, tol = config.n_sites, config.tol
+        sweep_schedule = list(config.sweep_schedule)
+        rmax_schedule = (list(config.rmax_schedule)
+                         if config.rmax_schedule is not None else None)
+        it_solver = config.it_solver
+        linsolv_maxiter = config.linsolv_maxiter
+        itslv_thresh = config.itslv_thresh
+    t_start = time.perf_counter()
     if sweep_schedule is None:
         sweep_schedule = [2]
     if rmax_schedule is None:
@@ -307,9 +321,17 @@ def dmrg_linsolve(A: TTOperator, b: TTVector, x0: TTVector, n_sites: int = 2,
         raise ValueError("Sweep schedule error")
     if linsolv_tol is None:
         linsolv_tol = max(math.sqrt(tol), 1e-8)
-    out, _, _ = _run_dmrg(A, x0, n_sites, tol, sweep_schedule, rmax_schedule,
-                          it_solver, linsolv_maxiter, linsolv_tol,
-                          itslv_thresh, verbose, b=b)
+    out, _, r_hist = _run_dmrg(A, x0, n_sites, tol, sweep_schedule,
+                               rmax_schedule, it_solver, linsolv_maxiter,
+                               linsolv_tol, itslv_thresh, verbose, b=b)
+    if telemetry is not None:
+        telemetry.local_solves += len(r_hist)
+        telemetry.max_ranks.extend(int(r) for r in r_hist)
+        dt_out = out.dtype
+        res = float(norm(sub(matvec(A.astype(dt_out), out), b.astype(dt_out)))
+                    / jnp.maximum(norm(b), jnp.finfo(b.dtype).eps))
+        telemetry.record_sweep(residual=res)
+        telemetry.wall_seconds += time.perf_counter() - t_start
     if return_info:
         dt = out.dtype
         res = float(norm(sub(matvec(A.astype(dt), out), b.astype(dt)))
@@ -322,9 +344,21 @@ def dmrg_eigsolve(A: TTOperator, x0: TTVector, n_sites: int = 2,
                   tol: float = 1e-12, sweep_schedule=None, rmax_schedule=None,
                   it_solver: bool = False, linsolv_maxiter: int = 200,
                   linsolv_tol: float | None = None, itslv_thresh: int = 256,
-                  verbose: bool = False):
+                  verbose: bool = False, config=None, telemetry=None):
     """Lowest eigenpair by N-site DMRG; returns ``(E, x, r_hist)``
-    (reference dmrg_eigsolve /root/reference/src/solvers/dmrg.jl:501-578)."""
+    (reference dmrg_eigsolve /root/reference/src/solvers/dmrg.jl:501-578).
+
+    ``config`` (:class:`ttnx.config.DMRGConfig`) overrides the option
+    defaults; ``telemetry`` collects energy/rank histories and wall time."""
+    if config is not None:
+        n_sites, tol = config.n_sites, config.tol
+        sweep_schedule = list(config.sweep_schedule)
+        rmax_schedule = (list(config.rmax_schedule)
+                         if config.rmax_schedule is not None else None)
+        it_solver = config.it_solver
+        linsolv_maxiter = config.linsolv_maxiter
+        itslv_thresh = config.itslv_thresh
+    t_start = time.perf_counter()
     if sweep_schedule is None:
         sweep_schedule = [2]
     if rmax_schedule is None:
@@ -337,4 +371,9 @@ def dmrg_eigsolve(A: TTOperator, x0: TTVector, n_sites: int = 2,
                                rmax_schedule, it_solver, linsolv_maxiter,
                                linsolv_tol, itslv_thresh, verbose,
                                collect_energy=True)
+    if telemetry is not None:
+        telemetry.local_solves += len(r_hist)
+        telemetry.energies.extend(float(e) for e in E)
+        telemetry.max_ranks.extend(int(r) for r in r_hist)
+        telemetry.wall_seconds += time.perf_counter() - t_start
     return np.asarray(E), out, np.asarray(r_hist)

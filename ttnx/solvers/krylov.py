@@ -281,11 +281,16 @@ def krylov_linsolve(A: TTOperator, b: TTVector, guess: TTVector,
                     krylovdim: int = 8, maxiter: int = 20, rtol: float = 1e-8,
                     atol: float = 1e-12, tol: float | None = None,
                     issymmetric: bool = False, ishermitian: bool | None = None,
-                    isposdef: bool = False):
+                    isposdef: bool = False, config=None):
     """TT Krylov linear solve with rank-capped matvec, mirroring the
     reference's solver autoselection (/root/reference/src/solvers/euler.jl:34-74):
     ``:auto`` picks CG for posdef symmetric/hermitian problems, else BiCGStab
-    when rounding (``max_bond > 0``), else GMRES."""
+    when rounding (``max_bond > 0``), else GMRES.
+    ``config`` (:class:`ttnx.config.KrylovConfig`) overrides option defaults."""
+    if config is not None:
+        max_bond, krylov_solver = config.max_bond, config.krylov_solver
+        krylovdim, maxiter = config.krylovdim, config.maxiter
+        rtol, atol = config.rtol, config.atol
     if ishermitian is None:
         ishermitian = issymmetric
     if max_bond > 0:

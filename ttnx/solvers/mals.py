@@ -9,6 +9,7 @@ relative discarded-weight criterion (mals.jl:42-56).
 from __future__ import annotations
 
 import math
+import time
 
 import numpy as np
 import jax.numpy as jnp
@@ -80,10 +81,19 @@ def _default_rmax(dims) -> int:
 
 
 def mals_linsolve(A: TTOperator, b: TTVector, x0: TTVector, tol: float = 1e-12,
-                  rmax: int | None = None, return_info: bool = False):
+                  rmax: int | None = None, return_info: bool = False,
+                  config=None, telemetry=None):
     """Solve ``A x = b`` with one forward + one backward two-site sweep, bond
     ranks adapting to ``tol`` under the ``rmax`` cap
-    (reference mals_linsolve /root/reference/src/solvers/mals.jl:240-309)."""
+    (reference mals_linsolve /root/reference/src/solvers/mals.jl:240-309).
+
+    ``config`` (:class:`ttnx.config.MALSConfig`) overrides the option
+    defaults; ``telemetry`` collects residual/rank history and wall time."""
+    if config is not None:
+        tol = config.tol
+        rmax = config.rmax
+        return_info = config.return_info
+    t_start = time.perf_counter()
     d = A.N
     if rmax is None:
         rmax = _default_rmax(x0.dims)
@@ -108,6 +118,9 @@ def mals_linsolve(A: TTOperator, b: TTVector, x0: TTVector, tol: float = 1e-12,
         cores[i], cores[i + 1] = _split_right(V, tol, rmax)
         L[i + 1] = update_left_env(L[i], cores[i], A.cores[i])
         Lb[i + 1] = update_left_env_b(Lb[i], cores[i], b.cores[i])
+        if telemetry is not None:
+            telemetry.local_solves += 1
+            telemetry.record_sweep(max_rank=max(TTVector(cores).ranks))
 
     for i in range(d - 2, -1, -1):  # backward half sweep
         K = _local2_matrix(L[i], A.cores[i], A.cores[i + 1], R[i + 2])
@@ -116,8 +129,16 @@ def mals_linsolve(A: TTOperator, b: TTVector, x0: TTVector, tol: float = 1e-12,
         cores[i], cores[i + 1] = _split_left(V, tol, rmax)
         R[i + 1] = update_right_env(R[i + 2], cores[i + 1], A.cores[i + 1])
         Rb[i + 1] = update_right_env_b(Rb[i + 2], cores[i + 1], b.cores[i + 1])
+        if telemetry is not None:
+            telemetry.local_solves += 1
+            telemetry.record_sweep(max_rank=max(TTVector(cores).ranks))
 
     out = TTVector(cores)
+    if telemetry is not None:
+        res = float(norm(sub(matvec(A, out), b)) / jnp.maximum(
+            norm(b), jnp.finfo(dt).eps))
+        telemetry.record_sweep(residual=res)
+        telemetry.wall_seconds += time.perf_counter() - t_start
     if return_info:
         res = float(norm(sub(matvec(A, out), b)) / jnp.maximum(
             norm(b), jnp.finfo(dt).eps))
@@ -132,10 +153,23 @@ def _local2_eigmin(L, Ai, Aj, R, v0, it_solver=False, itslv_thresh=256,
     m = int(np.prod(shape))
     K = _local2_matrix(L, Ai, Aj, R)
     K = 0.5 * (K + K.conj().T)
-    if ((it_solver or m > itslv_thresh)
-            and not jnp.issubdtype(v0.dtype, jnp.complexfloating) and m > 4):
+    if (it_solver or m > itslv_thresh) and m > 4:
         from jax.experimental.sparse.linalg import lobpcg_standard
 
+        if jnp.issubdtype(v0.dtype, jnp.complexfloating):
+            # real symmetric embedding [[A,-B],[B,A]] of K = A + iB (same as
+            # ttnx.solvers.als._local_eigmin; reference LOBPCG is complex-
+            # native, /root/reference/src/solvers/mals.jl:171-218)
+            Kr = jnp.block([[K.real, -K.imag], [K.imag, K.real]])
+            w0 = jnp.concatenate([v0.reshape(m).real, v0.reshape(m).imag])
+            sigma = jnp.linalg.norm(Kr, ord=1)
+            shifted = sigma * jnp.eye(2 * m, dtype=Kr.dtype) - Kr
+            theta, U, _ = lobpcg_standard(shifted, w0[:, None], m=maxiter,
+                                          tol=tol)
+            x = U[:m, 0] + 1j * U[m:, 0]
+            x = x / jnp.linalg.norm(x)
+            return ((sigma - theta[0]).astype(v0.real.dtype),
+                    x.astype(v0.dtype).reshape(shape))
         sigma = jnp.linalg.norm(K, ord=1)
         shifted = sigma * jnp.eye(m, dtype=K.dtype) - K
         theta, U, _ = lobpcg_standard(shifted, v0.reshape(m, 1), m=maxiter,
@@ -148,7 +182,8 @@ def _local2_eigmin(L, Ai, Aj, R, v0, it_solver=False, itslv_thresh=256,
 def mals_eigsolve(A: TTOperator, x0: TTVector, tol: float = 1e-12,
                   sweep_schedule=None, rmax_schedule=None,
                   it_solver: bool = False, linsolv_maxiter: int = 200,
-                  linsolv_tol: float | None = None, itslv_thresh: int = 256):
+                  linsolv_tol: float | None = None, itslv_thresh: int = 256,
+                  telemetry=None):
     """Smallest eigenpair by two-site MALS with bond-adaptive ranks; returns
     ``(E, x, r_hist)`` (reference mals_eigsolve
     /root/reference/src/solvers/mals.jl:335-425)."""
@@ -161,6 +196,7 @@ def mals_eigsolve(A: TTOperator, x0: TTVector, tol: float = 1e-12,
     if linsolv_tol is None:
         linsolv_tol = max(math.sqrt(tol), 1e-8)
 
+    t_start = time.perf_counter()
     d = A.N
     x = orthogonalize(x0, 0)
     dt = jnp.result_type(A.dtype, x.dtype)
@@ -184,6 +220,8 @@ def mals_eigsolve(A: TTOperator, x0: TTVector, tol: float = 1e-12,
         if nsweeps == sweep_schedule[i_schedule]:
             i_schedule += 1
             if i_schedule >= len(sweep_schedule):
+                if telemetry is not None:
+                    telemetry.wall_seconds += time.perf_counter() - t_start
                 return np.asarray(E), TTVector(cores), np.asarray(r_hist)
         rmax = rmax_schedule[i_schedule]
 
@@ -195,6 +233,9 @@ def mals_eigsolve(A: TTOperator, x0: TTVector, tol: float = 1e-12,
             E.append(float(jnp.real(lam)))
             cores[i], cores[i + 1] = _split_right(V, tol, rmax)
             r_hist.append(max(TTVector(cores).ranks))
+            if telemetry is not None:
+                telemetry.local_solves += 1
+                telemetry.record_sweep(energy=E[-1], max_rank=r_hist[-1])
             L[i + 1] = update_left_env(L[i], cores[i], A.cores[i])
 
         for i in range(d - 2, -1, -1):  # backward
@@ -205,6 +246,11 @@ def mals_eigsolve(A: TTOperator, x0: TTVector, tol: float = 1e-12,
             E.append(float(jnp.real(lam)))
             cores[i], cores[i + 1] = _split_left(V, tol, rmax)
             r_hist.append(max(TTVector(cores).ranks))
+            if telemetry is not None:
+                telemetry.local_solves += 1
+                telemetry.record_sweep(energy=E[-1], max_rank=r_hist[-1])
             R[i + 1] = update_right_env(R[i + 2], cores[i + 1], A.cores[i + 1])
 
+    if telemetry is not None:
+        telemetry.wall_seconds += time.perf_counter() - t_start
     return np.asarray(E), TTVector(cores), np.asarray(r_hist)

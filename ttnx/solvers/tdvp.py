@@ -221,20 +221,32 @@ def _tdvp_driver(sweep_fn, H, u0, steps, normalize, return_error, sweeps,
 
 def tdvp(H: TTOperator, u0: TTVector, steps, normalize=True,
          return_error=False, sweeps=1, carry_env=True, verbose=False,
-         imaginary_time=False, **kwargs):
+         imaginary_time=False, config=None, **kwargs):
     """1-site TDVP driver (reference tdvp /root/reference/src/solvers/tdvp.jl:154-203).
 
     Real-time evolution of ``i dpsi/dt = H psi`` (complexifies real input);
-    ``imaginary_time=True`` evolves ``dpsi/dt = H psi`` in real arithmetic."""
+    ``imaginary_time=True`` evolves ``dpsi/dt = H psi`` in real arithmetic.
+    ``config`` (:class:`ttnx.config.TDVPConfig`) overrides option defaults."""
+    if config is not None:
+        normalize, sweeps = config.normalize, config.sweeps
+        carry_env = config.carry_env
+        imaginary_time = config.imaginary_time
     return _tdvp_driver(tdvp1sweep, H, u0, steps, normalize, return_error,
                         sweeps, carry_env, imaginary_time, verbose, **kwargs)
 
 
 def tdvp2(H: TTOperator, u0: TTVector, steps, normalize=True,
           return_error=False, sweeps=1, carry_env=True, verbose=False,
-          max_bond=None, truncerr=0.0, imaginary_time=False, **kwargs):
+          max_bond=None, truncerr=0.0, imaginary_time=False, config=None,
+          **kwargs):
     """2-site TDVP driver with rank adaptation
-    (reference tdvp2 /root/reference/src/solvers/tdvp.jl:303-357)."""
+    (reference tdvp2 /root/reference/src/solvers/tdvp.jl:303-357).
+    ``config`` (:class:`ttnx.config.TDVPConfig`) overrides option defaults."""
+    if config is not None:
+        normalize, sweeps = config.normalize, config.sweeps
+        carry_env = config.carry_env
+        imaginary_time = config.imaginary_time
+        max_bond, truncerr = config.max_bond, config.truncerr
     return _tdvp_driver(tdvp2sweep, H, u0, steps, normalize, return_error,
                         sweeps, carry_env, imaginary_time, verbose,
                         max_bond=max_bond, truncerr=truncerr, **kwargs)
