@@ -254,3 +254,163 @@ class TestMultiDim:
         assert isinstance(y, QTTVector)
         ref = np.asarray(qtt_to_vector(lap @ x.tt()))
         assert np.allclose(np.asarray(qtt_to_vector(y.tt())), ref)
+
+
+class TestMultiDimContracts:
+    """Ports of /root/reference/test/test_qtt_multidim.jl:448-631 — the
+    multi-dim behavioral contract (ordering-independent algebra, reorder
+    round-trips, hadamard, metadata-preserving compression/rank growth)."""
+
+    def test_dot_norm_arithmetic_ordering_independent(self):
+        # test_qtt_multidim.jl:448-487
+        from ttnx import dot, norm
+
+        f1 = lambda c: np.exp(-c[..., 0]) * (1.0 + c[..., 1])
+        f2 = lambda c: np.cos(np.pi * c[..., 0]) * (1.0 + 2.0 * c[..., 1])
+        bits = 4
+        q1_il = function_to_qttv(f1, 2, bits, ordering="interleaved")
+        q2_il = function_to_qttv(f2, 2, bits, ordering="interleaved")
+        q1_sr = function_to_qttv(f1, 2, bits, ordering="serial")
+        q2_sr = function_to_qttv(f2, 2, bits, ordering="serial")
+
+        arr1 = np.asarray(qttv_to_array(q1_il))
+        arr2 = np.asarray(qttv_to_array(q2_il))
+        dot_ref = float(np.sum(arr1 * arr2))
+        norm_ref = float(np.sqrt(np.sum(arr1 ** 2)))
+
+        assert np.isclose(float(dot(q1_il.tt(), q2_il.tt())), dot_ref,
+                          rtol=1e-10)
+        assert np.isclose(float(dot(q1_sr.tt(), q2_sr.tt())), dot_ref,
+                          rtol=1e-10)
+        assert np.isclose(float(norm(q1_il.tt())), norm_ref, rtol=1e-10)
+        assert np.isclose(float(norm(q1_sr.tt())), norm_ref, rtol=1e-10)
+        assert np.isclose(float(norm(q1_il.tt())) ** 2,
+                          float(dot(q1_il.tt(), q1_il.tt())), rtol=1e-10)
+
+        assert np.allclose(np.asarray(qttv_to_array(q1_il + q2_il)),
+                           arr1 + arr2, atol=1e-12)
+        assert np.allclose(np.asarray(qttv_to_array(q1_sr + q2_sr)),
+                           arr1 + arr2, atol=1e-12)
+        assert np.allclose(np.asarray(qttv_to_array(q1_il - q2_il)),
+                           arr1 - arr2, atol=1e-12)
+        assert np.allclose(np.asarray(qttv_to_array(3.5 * q1_il)),
+                           3.5 * arr1, atol=1e-12)
+        assert np.allclose(np.asarray(qttv_to_array(q1_sr * 3.5)),
+                           3.5 * arr1, atol=1e-12)
+        assert np.allclose(np.asarray(qttv_to_array(q1_il / 2.0)),
+                           arr1 / 2.0, atol=1e-12)
+
+    def test_reorder_3d_round_trip_and_cross_validation(self):
+        # test_qtt_multidim.jl:489-520
+        from ttnx import norm, reorder
+
+        f = lambda c: (np.cos(np.pi * c[..., 0]) * np.sin(2 * np.pi * c[..., 1])
+                       * np.exp(-c[..., 2]))
+        bits = 3
+        q_sr = function_to_qttv(f, 3, bits, ordering="serial")
+        q_il = function_to_qttv(f, 3, bits, ordering="interleaved")
+        arr_sr = np.asarray(qttv_to_array(q_sr))
+        arr_il = np.asarray(qttv_to_array(q_il))
+        assert np.allclose(arr_sr, arr_il, atol=1e-12)
+
+        q_il_r = reorder(q_sr, "interleaved")
+        assert q_il_r.ordering == "interleaved"
+        assert q_il_r.n_dims == 3 and q_il_r.bits_per_dim == bits
+        assert np.allclose(np.asarray(qttv_to_array(q_il_r)), arr_il,
+                           atol=1e-10)
+
+        q_il_t = reorder(q_sr, "interleaved", threshold=1e-14)
+        assert np.allclose(np.asarray(qttv_to_array(q_il_t)), arr_il,
+                           atol=1e-10)
+
+        q_sr_r = reorder(q_il, "serial")
+        assert q_sr_r.ordering == "serial"
+        assert np.allclose(np.asarray(qttv_to_array(q_sr_r)), arr_sr,
+                           atol=1e-10)
+
+        q_rt = reorder(reorder(q_sr, "interleaved"), "serial")
+        assert np.allclose(np.asarray(qttv_to_array(q_rt)), arr_sr, atol=1e-10)
+        assert np.isclose(float(norm(q_il_r.tt())), float(norm(q_sr.tt())),
+                          rtol=1e-10)
+
+    @pytest.mark.parametrize("ordering", ["serial", "interleaved"])
+    def test_hadamard_2d_and_identity(self, ordering):
+        # test_qtt_multidim.jl:522-556 (incl. sin^2+cos^2 = 1 identity)
+        bits = 4
+        f1 = lambda c: np.sin(np.pi * c[..., 0]) * np.sin(np.pi * c[..., 1])
+        f2 = lambda c: np.cos(np.pi * c[..., 0]) * np.cos(np.pi * c[..., 1])
+        q1 = function_to_qttv(f1, 2, bits, ordering=ordering)
+        q2 = function_to_qttv(f2, 2, bits, ordering=ordering)
+        h12 = q1.hadamard(q2)
+        assert isinstance(h12, QTTVector)
+        assert h12.ordering == ordering
+        assert h12.n_dims == 2 and h12.bits_per_dim == bits
+        arr1 = np.asarray(qttv_to_array(q1))
+        arr2 = np.asarray(qttv_to_array(q2))
+        assert np.allclose(np.asarray(qttv_to_array(h12)), arr1 * arr2,
+                           atol=1e-12)
+
+        qss = q1.hadamard(q1)
+        qcc = q2.hadamard(q2)
+        arr_sum = np.asarray(qttv_to_array(qss + qcc))
+        xs = grid(bits)
+        ref = (np.sin(np.pi * xs[:, None]) ** 2 * np.sin(np.pi * xs[None, :]) ** 2
+               + np.cos(np.pi * xs[:, None]) ** 2 * np.cos(np.pi * xs[None, :]) ** 2)
+        assert np.allclose(arr_sum, ref, atol=1e-12)
+
+    @pytest.mark.parametrize("ordering", ["serial", "interleaved"])
+    def test_hadamard_3d(self, ordering):
+        # test_qtt_multidim.jl:558-577
+        bits = 3
+        f1 = lambda c: (np.sin(np.pi * c[..., 0]) * np.sin(np.pi * c[..., 1])
+                        * np.sin(np.pi * c[..., 2]))
+        f2 = lambda c: np.exp(-c[..., 0] - c[..., 1] - c[..., 2])
+        q1 = function_to_qttv(f1, 3, bits, ordering=ordering)
+        q2 = function_to_qttv(f2, 3, bits, ordering=ordering)
+        h12 = q1.hadamard(q2)
+        assert isinstance(h12, QTTVector)
+        assert h12.ordering == ordering and h12.n_dims == 3
+        arr1 = np.asarray(qttv_to_array(q1))
+        arr2 = np.asarray(qttv_to_array(q2))
+        assert np.allclose(np.asarray(qttv_to_array(h12)), arr1 * arr2,
+                           atol=1e-12)
+
+    def test_separable_serial_rank1_after_compress(self):
+        # test_qtt_multidim.jl:579-599
+        bits = 6
+        f = lambda c: np.exp(-c[..., 0]) * np.exp(-c[..., 1])
+        q = q0 = function_to_qttv(f, 2, bits, ordering="serial")
+        q_c = q.compress(10, truncerr=1e-12)
+        assert q_c.ranks[bits] == 1  # cross-dimension bond
+        assert max(q_c.ranks) == 1  # exp is rank-1 in QTT
+        xs = grid(bits)
+        ref = np.exp(-xs[:, None]) * np.exp(-xs[None, :])
+        assert np.allclose(np.asarray(qttv_to_array(q_c)), ref, atol=1e-10)
+
+    def test_compress_preserves_metadata(self):
+        # test_qtt_multidim.jl:601-617
+        bits = 5
+        f = lambda c: np.sin(2 * np.pi * c[..., 0]) * np.sin(2 * np.pi * c[..., 1])
+        q = function_to_qttv(f, 2, bits, ordering="interleaved")
+        arr_ref = np.asarray(qttv_to_array(q))
+        q_c = q.compress(8, truncerr=1e-12)
+        assert isinstance(q_c, QTTVector)
+        assert q_c.ordering == "interleaved"
+        assert q_c.n_dims == 2 and q_c.bits_per_dim == bits
+        assert max(q_c.ranks) <= 8
+        assert np.allclose(np.asarray(qttv_to_array(q_c)), arr_ref, atol=1e-8)
+
+    def test_increase_ranks_preserves_metadata_and_values(self):
+        # test_qtt_multidim.jl:619-631
+        bits = 4
+        f = lambda c: np.exp(-c[..., 0]) * np.exp(-c[..., 1])
+        q = function_to_qttv(f, 2, bits, ordering="serial")
+        arr_ref = np.asarray(qttv_to_array(q))
+        q_up = q.increase_ranks(4, noise=0.0)
+        assert isinstance(q_up, QTTVector)
+        assert q_up.ordering == q.ordering
+        assert q_up.n_dims == q.n_dims and q_up.bits_per_dim == q.bits_per_dim
+        assert max(q_up.ranks) <= 4
+        assert max(q_up.ranks) > max(q.ranks)
+        assert np.allclose(np.asarray(qttv_to_array(q_up)), arr_ref,
+                           atol=1e-12)

@@ -104,7 +104,10 @@ def _normalize_domain(domain):
             isinstance(domain, (list, np.ndarray))
             and len(domain) > 0 and np.isscalar(domain[0])):
         return [np.arange(1.0, float(d) + 1.0) for d in domain]
-    return [np.asarray(d, dtype=float) for d in domain]
+    # complex coordinate grids are first-class (reference complex-domain
+    # support, test_tt_cross_interpolation.jl:214-241)
+    return [np.asarray(d) if np.iscomplexobj(d)
+            else np.asarray(d, dtype=float) for d in domain]
 
 
 def _cap_ranks(Rs, Is, rmax):
@@ -427,6 +430,31 @@ def _dmrg_cross(f, domain, alg: DMRGCross, ranks, val_size, seed):
             converged = True
             break
 
+        if alg.kickrank is not None:
+            # Random index enrichment between iterations. The reference only
+            # enriches in the MaxVol method (tt_cross_interpolation.jl:297-310)
+            # and its DMRG cross relies on lucky random initialization; here
+            # the two-site superblock can lock at a deficient rank when every
+            # nested pivot pins a degenerate slice (e.g. a zero of a factor),
+            # so kickrank rows are appended to both nested sets — a documented
+            # robustness improvement (docs/design.md).
+            for k in range(1, N):
+                grow = min(alg.kickrank, alg.rmax - I_l[k].shape[0])
+                if grow > 0:
+                    extra = np.stack(
+                        [rng.integers(0, Is[j], grow) for j in range(k)],
+                        axis=1)
+                    I_l[k] = np.unique(
+                        np.concatenate([I_l[k], extra], axis=0), axis=0)
+            for k in range(N - 1):
+                grow = min(alg.kickrank, alg.rmax - I_g[k].shape[0])
+                if grow > 0:
+                    extra = np.stack(
+                        [rng.integers(0, Is[k + 1 + j], grow)
+                         for j in range(N - 1 - k)], axis=1)
+                    I_g[k] = np.unique(
+                        np.concatenate([I_g[k], extra], axis=0), axis=0)
+
     if alg.verbose and not converged:
         print(f"DMRG cross: max iterations reached, eps={val_eps:.3e}")
     return TTVector([jnp.asarray(c) for c in cores])
@@ -623,8 +651,11 @@ def _greedy_cross(f, domain, alg: Greedy, val_size, seed):
         if alg.verbose:
             print(f"Greedy cross stalled (eps={val_eps:.3e}); "
                   "retrying with DMRG cross")
-        dmrg_alg = DMRGCross(maxiter=alg.maxiter, tol=alg.tol, rmax=alg.rmax,
-                             kickrank=None, verbose=alg.verbose)
+        # the reference passes kickrank=nothing here (jl:516) and relies on
+        # lucky random init; keep enrichment on so the fallback cannot inherit
+        # the same degenerate-slice lock that stalled Greedy (docs/design.md)
+        dmrg_alg = DMRGCross(maxiter=max(alg.maxiter, 10), tol=alg.tol,
+                             rmax=alg.rmax, verbose=alg.verbose)
         return _dmrg_cross(f, domain, dmrg_alg, min(max(Rs), alg.rmax),
                            val_size, seed)
 
