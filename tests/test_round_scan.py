@@ -118,3 +118,64 @@ class TestJittedCN:
         n1 = cn_step._cache_size()
         u = step(u)
         assert cn_step._cache_size() == n1 > n0
+
+
+class TestGramRounding:
+    """method='gram' — eigh/matmul rounding (the remote-TPU composition;
+    QR/SVD-in-scan SIGABRTs that compiler, see round_scan docstrings)."""
+
+    def test_gram_matches_svd_rounding(self):
+        A, u, RA, dims, u_rks, masks_big = _setup()
+        big = matvec_padded(pack_op(A, RA), pack_tt(u, 4))
+        big_rks = [min(a * b, RA * 4) for a, b in zip(A.ranks, u_rks)]
+        out_rks = round_masks(big_rks, 4, dims)
+        masks_out = rank_masks(out_rks, 4)
+        ys = tt_round_scan(big, masks_big, 4, masks_out, method="svd")
+        yg = tt_round_scan(big, masks_big, 4, masks_out, method="gram")
+        assert np.allclose(padded_to_vec(yg), padded_to_vec(ys), atol=1e-10)
+
+    def test_gram_handles_rank_deficient_chain(self):
+        # MPO-apply output: early bonds have true rank << mask rank — the
+        # exact case that breaks naive CholeskyQR (NaNs); the pseudo-inverted
+        # square root must stay finite and exact
+        d = 7
+        A = add_op(id_tto(d), scale_op(0.05, toeplitz_to_qtto(2.0, -1.0, -1.0, d)))
+        u = orthogonalize(qtt_sin(d), 0)
+        RA = max(A.ranks)
+        rmax = 6
+        dims = (2,) * d
+        u_rks = r_and_d_to_rks(u.ranks, dims, rmax=rmax)
+        masks_u = rank_masks(u_rks, rmax)
+        masks_A = np.zeros((d + 1, RA))
+        for i, r in enumerate(A.ranks):
+            masks_A[i, :r] = 1.0
+        mu = np.asarray(masks_u)
+        masks_big = jnp.asarray(np.stack(
+            [np.outer(masks_A[i], mu[i]).reshape(-1) for i in range(d + 1)]))
+        big = matvec_padded(pack_op(A, RA), pack_tt(u, rmax))
+        big_rks = [min(a * b, RA * rmax) for a, b in zip(A.ranks, u_rks)]
+        out_rks = round_masks(big_rks, rmax, dims)
+        masks_out = rank_masks(out_rks, rmax)
+        yg = tt_round_scan(big, masks_big, rmax, masks_out, method="gram")
+        got = padded_to_vec(yg)
+        assert np.all(np.isfinite(got))
+        ref = vec(tt_round(matvec(A, u), max_bond=rmax))
+        assert np.allclose(got, ref, atol=1e-10)
+
+    def test_cn_step_gram_machine_precision(self):
+        d, rmax = 8, 8
+        h_grid = 1.0 / (2 ** d + 1)
+        A = (-1.0 / h_grid ** 2) * toeplitz_to_qtto(2.0, -1.0, -1.0, d)
+        step_fn, pack, unpack = make_cn_step(
+            A, 1e-7, rmax=rmax, dims=(2,) * d,
+            u_rks=(1,) + (rmax,) * (d - 1) + (1,), sweep_count=3,
+            round_method="gram")
+        u0 = qtt_sin(d, a=h_grid, b=1 - h_grid)
+        u = pack(u0)
+        for _ in range(5):
+            u = step_fn(u)
+        lam1 = (2 - 2 * np.cos(np.pi / (2 ** d + 1))) / h_grid ** 2
+        got = vec(unpack(u))
+        expect = vec(u0) * np.exp(-lam1 * 5e-7)
+        rel = np.linalg.norm(got - expect) / np.linalg.norm(expect)
+        assert rel < 1e-12

@@ -121,6 +121,10 @@ from ttnx.ops.qtt import (  # noqa: E402
     function_to_qttv,
     qttv_to_array,
 )
+from ttnx.ops.interpolation import (  # noqa: E402
+    interpolating_qtt,
+    lagrange_rank_revealing,
+)
 from ttnx.ops.fourier import (  # noqa: E402
     fourier_qtto,
     reverse_qtt_bits,

@@ -34,18 +34,52 @@ def matvec_padded(A_stack, x_stack):
     return y.reshape(d, RA * R, n, RA * R)
 
 
-def _right_orth_scan(y, masks_r):
+def _right_orth_scan(y, masks_r, method: str = "qr"):
     """Right-orthogonalize the padded chain (masked LQ sweep); returns new
-    stack with site 0 holding the center."""
+    stack with site 0 holding the center.
+
+    ``method='qr'`` uses Householder QR of the transposed site matrix;
+    ``method='gram'`` factors the site as ``cm = G^{1/2} (G^{-1/2} cm)``
+    with ``G = cm cm^H`` via a single eigh — matmul-dominated (MXU work
+    instead of LAPACK panels) and the remote-TPU path: the QR/SVD
+    composition SIGABRTs that toolchain's compiler
+    (scripts/probe_round_bisect*.py), while matmul/eigh programs compile.
+    The pseudo-inverted square root handles rank-deficient sites exactly
+    (deficient directions carry no mass, their rows come out zero), which
+    both the padded-zero invariant and the low-true-rank boundary bonds
+    of an MPO-apply chain require. Precision: directions below
+    ``sqrt(eps)*sigma_max`` lose relative accuracy (squared condition
+    number) — fine for the f32 device path; the f64 parity path keeps
+    ``method='qr'``."""
     d, R, n, _ = y.shape
+
+    def gram_lq(cm):
+        """cm (R, nR) = T @ q; q has orthonormal rows on the row space of
+        cm and zero rows in its null space; T = (cm cm^H)^{1/2} (PSD)."""
+        G = cm @ cm.conj().T
+        w, V = jnp.linalg.eigh(G)                      # ascending
+        s = jnp.sqrt(jnp.maximum(w.real, 0.0))
+        cutoff = jnp.finfo(s.dtype).eps * R * jnp.max(s)
+        keep = s > cutoff
+        s_inv = jnp.where(keep, 1.0 / jnp.where(keep, s, 1.0), 0.0)
+        s_kept = jnp.where(keep, s, 0.0)
+        proj = V.conj().T @ cm                         # (R, nR)
+        q = (V * s_inv[None, :].astype(V.dtype)) @ proj
+        T = (V * s_kept[None, :].astype(V.dtype)) @ V.conj().T
+        return q, T
 
     def step(carry, inp):
         T, = carry
         core, m_l = inp
         c = jnp.einsum("anb,bc->anc", core, T)
-        qt, rt = jnp.linalg.qr(c.reshape(R, n * R).T)
-        q = qt.T.reshape(R, n, R) * m_l[:, None, None]
-        t = rt.T * m_l[None, :]
+        if method == "gram":
+            q2, t2 = gram_lq(c.reshape(R, n * R))
+            q = q2.reshape(R, n, R) * m_l[:, None, None]
+            t = t2 * m_l[None, :]
+        else:
+            qt, rt = jnp.linalg.qr(c.reshape(R, n * R).T)
+            q = qt.T.reshape(R, n, R) * m_l[:, None, None]
+            t = rt.T * m_l[None, :]
         return (t,), q
 
     T0 = jnp.zeros((R, R), dtype=y.dtype).at[0, 0].set(1.0)
@@ -56,39 +90,55 @@ def _right_orth_scan(y, masks_r):
     return jnp.concatenate([first[None], cores], axis=0)
 
 
-def tt_round_scan(y, masks_y, R_out: int, masks_out):
+def tt_round_scan(y, masks_y, R_out: int, masks_out, method: str = "svd"):
     """Truncate a padded chain to buffer rank ``R_out``: right-orthogonalize,
-    then a left-to-right masked-SVD scan keeping the top ``R_out`` singular
-    directions per bond (jitted analog of :func:`ttnx.core.canonical.tt_round`).
+    then a left-to-right masked truncation scan keeping the top ``R_out``
+    singular directions per bond (jitted analog of
+    :func:`ttnx.core.canonical.tt_round`).
 
     ``masks_y [d+1, R]`` bounds the input ranks; ``masks_out [d+1, R_out]``
-    the (feasibility-clamped) output ranks.
-    """
+    the (feasibility-clamped) output ranks. ``method='svd'`` (default,
+    full-precision) truncates via the site SVD; ``method='gram'`` is the
+    matmul-dominated TPU form — CholeskyQR2 orthogonalization plus an eigh
+    of the tiny ``(R_out*n, R_out*n)`` Gram matrix per site (top-k
+    eigenvectors = left singular vectors). The Gram form halves the
+    attainable precision for directions below ``sqrt(eps)*sigma_max``
+    (squared condition number) but keeps every dominant direction exact —
+    the right trade for f32 device programs, and the only composition the
+    remote TPU compiler accepts (see _right_orth_scan)."""
     d, R, n, _ = y.shape
-    y = _right_orth_scan(y, masks_y)
+    y = _right_orth_scan(y, masks_y, method=method)
+    k = min(R_out, R)
 
     def step(carry, inp):
         T, = carry  # (R_out, R) transfer into this site
         core, m_r_out = inp
         c = jnp.einsum("ab,bnc->anc", T, core)        # (R_out, n, R)
         cm = c.reshape(R_out * n, R)
-        if R_out * n < R:
+        if method == "gram":
+            G = cm @ cm.conj().T                      # (R_out*n, R_out*n)
+            w, V = jnp.linalg.eigh(G)                 # ascending
+            u_k = V[:, ::-1][:, :k]
+            t_k = u_k.conj().T @ cm                   # rows scale like s*vt
+        elif R_out * n < R:
             # A WIDE svd inside lax.scan SIGABRTs the remote TPU compiler
             # (xla::TransposeFolding, measured 2026-08-20,
             # scripts/probe_svd_variants.py); the tall transpose compiles
             # and is mathematically identical: cm = vt2.T @ diag(s) @ ut.T.
             ut, s, vt2 = jnp.linalg.svd(cm.T, full_matrices=False)
-            u, vt = vt2.T, ut.T
+            u_k = vt2.T[:, :k]
+            t_k = s[:k, None] * ut.T[:k, :]
         else:
             u, s, vt = jnp.linalg.svd(cm, full_matrices=False)
-        k = min(R_out, R)
-        u_k = u[:, :k] * m_r_out[None, :k]
-        pad = jnp.zeros((R_out * n, R_out - k), dtype=u.dtype)
+            u_k = u[:, :k]
+            t_k = s[:k, None] * vt[:k, :]
+        u_k = u_k * m_r_out[None, :k]
+        pad = jnp.zeros((R_out * n, R_out - k), dtype=cm.dtype)
         new_core = jnp.concatenate([u_k, pad], axis=1).reshape(
             R_out, n, R_out)
-        t_k = (s[:k, None] * vt[:k, :]) * m_r_out[:k, None]
+        t_k = t_k * m_r_out[:k, None]
         T_new = jnp.concatenate(
-            [t_k, jnp.zeros((R_out - k, R), dtype=u.dtype)], axis=0)
+            [t_k, jnp.zeros((R_out - k, R), dtype=cm.dtype)], axis=0)
         return (T_new,), new_core
 
     T0 = jnp.zeros((R_out, R), dtype=y.dtype).at[0, 0].set(1.0)
@@ -107,10 +157,11 @@ def round_masks(in_rks, R_out: int, dims):
 
 
 @partial(jax.jit, static_argnames=("sweep_count", "solver", "orth",
-                                   "round_rhs"))
+                                   "round_rhs", "round_method"))
 def cn_step(lhs_stack, rhs_stack, u_stack, guess_noise, masks_u,
             masks_rhs_big, masks_u_out, sweep_count: int = 4,
-            solver: str = "lu", orth: str = "qr", round_rhs: bool = True):
+            solver: str = "lu", orth: str = "qr", round_rhs: bool = True,
+            round_method: str = "svd"):
     """One Crank–Nicolson step as a single compiled program:
     ``u <- ALS-solve(lhs, round(rhs_op @ u))`` (reference stepper:
     /root/reference/src/solvers/euler.jl:145-191).
@@ -123,7 +174,8 @@ def cn_step(lhs_stack, rhs_stack, u_stack, guess_noise, masks_u,
     R_out = u_stack.shape[1]
     big = matvec_padded(rhs_stack, u_stack)
     if round_rhs:
-        b = tt_round_scan(big, masks_rhs_big, R_out, masks_u_out)
+        b = tt_round_scan(big, masks_rhs_big, R_out, masks_u_out,
+                          method=round_method)
     else:
         # keep the rhs at the applied (Kronecker) rank: larger b environments
         # but zero dense-linalg primitives in the whole program when combined
@@ -137,7 +189,7 @@ def cn_step(lhs_stack, rhs_stack, u_stack, guess_noise, masks_u,
 
 def make_cn_step(A, h: float, rmax: int, dims, u_rks, dtype=jnp.float64,
                  sweep_count: int = 4, solver: str = "lu", orth: str = "qr",
-                 round_rhs: bool = True):
+                 round_rhs: bool = True, round_method: str = "svd"):
     """Host-side setup for :func:`cn_step` on ``du/dt = A u``: packs
     ``I -/+ h/2 A`` and builds all masks. Returns ``(step_fn, pack, unpack)``.
     """
@@ -145,6 +197,9 @@ def make_cn_step(A, h: float, rmax: int, dims, u_rks, dtype=jnp.float64,
     from ttnx.core.tt import id_tto
     from ttnx.solvers.als_scan import pack_op, pack_tt, unpack_tt
 
+    if round_method not in ("svd", "gram"):
+        raise ValueError(
+            f"round_method must be 'svd' or 'gram', got {round_method!r}")
     if solver not in ("lu", "cg"):
         raise ValueError(f"solver must be 'lu' or 'cg', got {solver!r}")
     if orth not in ("qr", "polar"):
@@ -188,7 +243,7 @@ def make_cn_step(A, h: float, rmax: int, dims, u_rks, dtype=jnp.float64,
     def step_fn(u_stack):
         return cn_step(lhs_stack, rhs_stack, u_stack, guess_noise, masks_u,
                        masks_big, masks_out, sweep_count, solver, orth,
-                       round_rhs)
+                       round_rhs, round_method)
 
     def pack(u):
         from ttnx.core.canonical import tt_round
