@@ -1,0 +1,109 @@
+"""Distributed (tp-sharded) TT rounding on the 8-device virtual CPU mesh:
+parity with the single-device gram rounding / eager tt_round, sharding
+layout preservation, and the tp-sharded CN step (SURVEY §2.9 distributed
+SVD/QR panel obligation)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+import ttnx
+from ttnx import qtt_sin, toeplitz_to_qtto, ttv_to_tensor
+from ttnx.core.algebra import add_op, matvec, scale_op
+from ttnx.core.canonical import orthogonalize, tt_round
+from ttnx.core.tt import id_tto, r_and_d_to_rks
+from ttnx.parallel.batch import make_mesh
+from ttnx.parallel.round_dist import (gram_round_dist, make_cn_step_dist,
+                                      shard_chain)
+from ttnx.solvers.als_scan import pack_op, pack_tt, rank_masks, unpack_tt
+from ttnx.solvers.round_scan import matvec_padded, round_masks, tt_round_scan
+
+
+def _problem(d=8, rmax=8):
+    A = add_op(id_tto(d),
+               scale_op(0.05, toeplitz_to_qtto(2.0, -1.0, -1.0, d)))
+    u = orthogonalize(qtt_sin(d), 0)
+    RA = max(A.ranks)
+    dims = (2,) * d
+    u_rks = r_and_d_to_rks(u.ranks, dims, rmax=rmax)
+    masks_u = rank_masks(u_rks, rmax)
+    masks_A = np.zeros((d + 1, RA))
+    for i, r in enumerate(A.ranks):
+        masks_A[i, :r] = 1.0
+    mu = np.asarray(masks_u)
+    masks_big = jnp.asarray(np.stack(
+        [np.outer(masks_A[i], mu[i]).reshape(-1) for i in range(d + 1)]))
+    big = matvec_padded(pack_op(A, RA), pack_tt(u, rmax))
+    big_rks = [min(a * b, RA * rmax) for a, b in zip(A.ranks, u_rks)]
+    out_rks = round_masks(big_rks, rmax, dims)
+    masks_out = rank_masks(out_rks, rmax)
+    return A, u, big, masks_big, out_rks, masks_out, rmax, dims
+
+
+class TestGramRoundDist:
+    def test_matches_eager_round_tensor(self):
+        A, u, big, masks_big, out_rks, masks_out, rmax, dims = _problem()
+        mesh = make_mesh(dp=1, tp=8)
+        y_sh = shard_chain(big, mesh, "tp")
+        assert y_sh.sharding.spec == P(None, None, None, "tp")
+        with mesh:
+            got = jax.jit(lambda y: gram_round_dist(
+                y, masks_big, rmax, masks_out, mesh))(y_sh)
+        v_got = np.asarray(ttv_to_tensor(unpack_tt(got, out_rks))).reshape(-1)
+        v_ref = np.asarray(ttv_to_tensor(
+            tt_round(matvec(A, u), max_bond=rmax))).reshape(-1)
+        rel = np.linalg.norm(v_got - v_ref) / np.linalg.norm(v_ref)
+        assert rel < 1e-10, rel
+
+    def test_device_count_independent(self):
+        # tp=2 and tp=8 must agree on the rounded TENSOR (gauge may differ
+        # from single-device eigh order, but the represented state may not)
+        _, _, big, masks_big, out_rks, masks_out, rmax, dims = _problem()
+        vals = []
+        for tp in (2, 8):
+            mesh = make_mesh(dp=8 // tp, tp=tp)
+            y_sh = shard_chain(big, mesh, "tp")
+            with mesh:
+                got = jax.jit(lambda y, m=mesh: gram_round_dist(
+                    y, masks_big, rmax, masks_out, m))(y_sh)
+            vals.append(np.asarray(
+                ttv_to_tensor(unpack_tt(got, out_rks))).reshape(-1))
+        assert np.allclose(vals[0], vals[1], atol=1e-10)
+
+    def test_rejects_indivisible_rank(self):
+        _, _, big, masks_big, out_rks, masks_out, rmax, dims = _problem()
+        mesh = make_mesh(dp=2, tp=4)
+        bad = big[:, : big.shape[1] - 2]  # rank not divisible by 4
+        with pytest.raises(ValueError):
+            gram_round_dist(bad[:, :, :, : bad.shape[1]], masks_big, rmax,
+                            masks_out, mesh)
+
+
+class TestCNStepDist:
+    def test_matches_single_device_cn(self):
+        d, rmax = 8, 8
+        h_grid = 1.0 / (2 ** d + 1)
+        A = (-1.0 / h_grid ** 2) * toeplitz_to_qtto(2.0, -1.0, -1.0, d)
+        u0 = qtt_sin(d, a=h_grid, b=1 - h_grid)
+        u_rks = (1,) + (rmax,) * (d - 1) + (1,)
+        mesh = make_mesh(dp=1, tp=8)
+        from ttnx.solvers.round_scan import make_cn_step
+
+        with mesh:
+            sfd, packd, unpackd = make_cn_step_dist(
+                A, 1e-7, rmax, (2,) * d, u_rks, mesh, sweep_count=3)
+            ud = packd(u0)
+            for _ in range(3):
+                ud = sfd(ud)
+        sf, pack, unpack = make_cn_step(
+            A, 1e-7, rmax=rmax, dims=(2,) * d, u_rks=u_rks, sweep_count=3,
+            round_method="gram")
+        u = pack(u0)
+        for _ in range(3):
+            u = sf(u)
+        vd = np.asarray(ttv_to_tensor(unpackd(ud))).reshape(-1)
+        v = np.asarray(ttv_to_tensor(unpack(u))).reshape(-1)
+        assert np.linalg.norm(vd - v) / np.linalg.norm(v) < 1e-12

@@ -1,0 +1,203 @@
+"""Distributed TT rounding: the padded-rank gram rounding of
+``ttnx.solvers.round_scan`` with every site unfolding column-sharded over a
+``tp`` mesh axis.
+
+This is the "distributed SVD/QR panel factorization" obligation (SURVEY
+§2.9, BASELINE north star) wired into the production rounding path: the
+O(R^2 * nR) Gram accumulations and basis applications — the FLOPs of
+rounding — run sharded over ``tp``, with one ``reduce_scatter`` + one
+``psum`` per site riding ICI, while the tiny eigendecompositions stay
+replicated.
+
+Sharding layout (per site, ``R`` = padded input rank, ``p`` = tp size):
+
+    right-orth sweep  cm = (R, n*R)     columns sharded -> Gram psum (R, R)
+    truncation sweep  cm = (R_out*n, R) columns sharded -> Gram psum (tiny)
+                       t_k all-gathered (k x R, ~16 KB) to carry the sweep
+
+The mathematics is identical to ``tt_round_scan(..., method='gram')`` —
+tests assert agreement with the single-device path on the 8-device CPU
+mesh and that the sharded intermediate layout is preserved site to site.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+__all__ = ["gram_round_dist", "shard_chain", "make_cn_step_dist"]
+
+
+def _gram_sqrt_apply(cm_loc, axis):
+    """Local columns of ``cm``: return ``(q_loc, T)`` with ``cm = T @ q``
+    (T = (cm cm^H)^{1/2} PSD, replicated; q column-sharded, orthonormal
+    rows on the row space). One psum of the Gram matrix over ``axis``."""
+    R = cm_loc.shape[0]
+    G = jax.lax.psum(cm_loc @ jnp.conj(cm_loc).T, axis)
+    w, V = jnp.linalg.eigh(G)
+    s = jnp.sqrt(jnp.maximum(w.real, 0.0))
+    cutoff = jnp.finfo(s.dtype).eps * R * jnp.max(s)
+    keep = s > cutoff
+    s_inv = jnp.where(keep, 1.0 / jnp.where(keep, s, 1.0), 0.0)
+    s_kept = jnp.where(keep, s, 0.0)
+    q_loc = (V * s_inv[None, :].astype(V.dtype)) @ (jnp.conj(V).T @ cm_loc)
+    T = (V * s_kept[None, :].astype(V.dtype)) @ jnp.conj(V).T
+    return q_loc, T
+
+
+def _round_kernel(y_loc, masks_y, masks_out, *, R_out: int, axis: str):
+    """shard_map body: ``y_loc (d, R, n, R/p)`` — this device's column block
+    of every site. Returns the rounded chain ``(d, R_out, n, R_out)``
+    replicated (R_out is small; the sharded work is the R-sized sweeps)."""
+    d, R, n, R_loc = y_loc.shape
+    idx = jax.lax.axis_index(axis)
+
+    # ---- right-orthogonalization sweep (sites d-1 .. 1) -----------------
+    cores_loc = [None] * d
+    T = jnp.zeros((R, R), dtype=y_loc.dtype).at[0, 0].set(1.0)
+    for i in range(d - 1, 0, -1):
+        # c[a,n,c'] = sum_b core[a,n,b] T[b,c']: b is this site's sharded
+        # column axis -> local partial, then reduce_scatter re-shards the
+        # fresh c' columns in the same collective
+        T_rows = jax.lax.dynamic_slice_in_dim(T, idx * R_loc, R_loc, axis=0)
+        c_part = jnp.einsum("anb,bc->anc", y_loc[i], T_rows)
+        c_loc = jax.lax.psum_scatter(c_part, axis, scatter_dimension=2,
+                                     tiled=True)            # (R, n, R/p)
+        m_l = masks_y[i]
+        q_loc, T = _gram_sqrt_apply(c_loc.reshape(R, n * R_loc), axis)
+        cores_loc[i] = q_loc.reshape(R, n, R_loc) * m_l[:, None, None]
+        T = T * m_l[None, :]
+    T_rows = jax.lax.dynamic_slice_in_dim(T, idx * R_loc, R_loc, axis=0)
+    c_part = jnp.einsum("anb,bc->anc", y_loc[0], T_rows)
+    cores_loc[0] = jax.lax.psum_scatter(c_part, axis, scatter_dimension=2,
+                                        tiled=True)
+
+    # ---- truncation sweep (sites 0 .. d-2) -------------------------------
+    out = [None] * d
+    k = min(R_out, R)
+    T2 = jnp.zeros((R_out, R), dtype=y_loc.dtype).at[0, 0].set(1.0)
+    for i in range(d - 1):
+        # c = T2 @ core: contraction over the FULL left rank axis — local;
+        # the result inherits the core's sharded right axis
+        c_loc = jnp.einsum("ob,bnc->onc", T2, cores_loc[i])  # (R_out,n,R/p)
+        cm_loc = c_loc.reshape(R_out * n, R_loc)
+        m_r = masks_out[i + 1]
+        G = jax.lax.psum(cm_loc @ jnp.conj(cm_loc).T, axis)  # tiny
+        w, V = jnp.linalg.eigh(G)
+        u_k = V[:, ::-1][:, :k] * m_r[None, :k].astype(V.dtype)
+        t_loc = jnp.conj(u_k).T @ cm_loc                     # (k, R/p)
+        pad = jnp.zeros((R_out * n, R_out - k), dtype=cm_loc.dtype)
+        out[i] = jnp.concatenate([u_k, pad], axis=1).reshape(R_out, n, R_out)
+        # carry: gather the sharded columns — the next site's left axis is
+        # full, so T2 must be replicated (k x R, tiny)
+        t_full = jax.lax.all_gather(t_loc, axis, axis=1, tiled=True)
+        t_full = t_full * m_r[:k, None].astype(t_full.dtype)
+        T2 = jnp.concatenate(
+            [t_full, jnp.zeros((R_out - k, R), dtype=t_full.dtype)], axis=0)
+    # last site: absorb the transfer; the global boundary column 0 lives in
+    # device 0's block
+    c_loc = jnp.einsum("ob,bnc->onc", T2, cores_loc[d - 1])
+    last_col = c_loc[:, :, 0:1] * (idx == 0).astype(c_loc.dtype)
+    last_col = jax.lax.psum(last_col, axis)                  # (R_out, n, 1)
+    out[d - 1] = jnp.pad(last_col, ((0, 0), (0, 0), (0, R_out - 1)))
+    return jnp.stack(out)
+
+
+def shard_chain(y, mesh: Mesh, axis: str = "tp"):
+    """Place a padded chain ``(d, R, n, R)`` with the last rank axis sharded
+    over ``mesh[axis]``."""
+    return jax.device_put(
+        y, NamedSharding(mesh, P(None, None, None, axis)))
+
+
+def gram_round_dist(y, masks_y, R_out: int, masks_out, mesh: Mesh,
+                    axis: str = "tp"):
+    """Distributed :func:`ttnx.solvers.round_scan.tt_round_scan`
+    (``method='gram'``): ``y (d, R, n, R)`` column-sharded over
+    ``mesh[axis]``, rounded to buffer rank ``R_out`` (returned replicated).
+
+    ``R`` must be divisible by the axis size."""
+    d, R, n, _ = y.shape
+    p = mesh.shape[axis]
+    if R % p != 0:
+        raise ValueError(f"padded rank {R} not divisible by {axis}={p}")
+    kernel = partial(_round_kernel, R_out=R_out, axis=axis)
+    other = tuple(a for a in mesh.axis_names if a != axis)
+    fn = shard_map(
+        kernel, mesh=mesh,
+        in_specs=(P(None, None, None, axis), P(), P()),
+        out_specs=P(),
+        check_vma=False)
+    return fn(y, masks_y, masks_out)
+
+
+def make_cn_step_dist(A, h: float, rmax: int, dims, u_rks, mesh: Mesh,
+                      dtype=jnp.float64, sweep_count: int = 4,
+                      solver: str = "lu", axis: str = "tp"):
+    """Crank–Nicolson step with the rounding stage tp-sharded: the
+    distributed twin of :func:`ttnx.solvers.round_scan.make_cn_step`
+    (``round_method='gram'``). The MPO application and ALS solve run at the
+    small target rank (replicated); the R = R_A * rmax sized rounding sweeps
+    — where this step's FLOPs live — run column-sharded over ``mesh[axis]``
+    via :func:`gram_round_dist`. Returns ``(step_fn, pack, unpack)``.
+    """
+    import numpy as np
+
+    from ttnx.core.algebra import add_op, scale_op
+    from ttnx.core.tt import id_tto, r_and_d_to_rks
+    from ttnx.solvers.als_scan import (als_sweeps, pack_op, pack_tt,
+                                       rank_masks, unpack_tt)
+    from ttnx.solvers.round_scan import matvec_padded, round_masks
+
+    d = len(dims)
+    A = A.astype(dtype)
+    eye = id_tto(d, dtype=dtype)
+    lhs = add_op(eye, scale_op(-h / 2, A))
+    rhs = add_op(eye, scale_op(h / 2, A))
+    RA = max(rhs.ranks)
+    lhs_stack = pack_op(lhs, max(lhs.ranks))
+    rhs_stack = pack_op(rhs, RA)
+
+    u_rks = r_and_d_to_rks(u_rks, dims, rmax=rmax)
+    real_dt = jnp.zeros((), dtype).real.dtype
+    masks_u = rank_masks(u_rks, rmax, dtype=real_dt)
+    masks_A = np.zeros((d + 1, RA))
+    for i, r in enumerate(rhs.ranks):
+        masks_A[i, :r] = 1.0
+    mu = np.asarray(masks_u)
+    masks_big = jnp.asarray(np.stack(
+        [np.outer(masks_A[i], mu[i]).reshape(-1) for i in range(d + 1)]),
+        dtype=real_dt)
+    big_rks = [min(a * b, RA * rmax) for a, b in zip(rhs.ranks, u_rks)]
+    out_rks = round_masks(big_rks, rmax, dims)
+    masks_out = rank_masks(out_rks, rmax, dtype=real_dt)
+
+    rng = np.random.default_rng(0)
+    noise_np = np.zeros((d, rmax, 2, rmax))
+    for i in range(d):
+        noise_np[i, : u_rks[i], :, : u_rks[i + 1]] = (
+            1e-3 * rng.standard_normal((u_rks[i], 2, u_rks[i + 1])))
+    guess_noise = jnp.asarray(noise_np, dtype=dtype)
+
+    @jax.jit
+    def step_fn(u_stack):
+        big = matvec_padded(rhs_stack, u_stack)
+        big = jax.lax.with_sharding_constraint(
+            big, NamedSharding(mesh, P(None, None, None, axis)))
+        b = gram_round_dist(big, masks_big, rmax, masks_out, mesh, axis)
+        return als_sweeps(lhs_stack, b, u_stack + guess_noise, masks_u,
+                          sweep_count, solver=solver)
+
+    def pack(u):
+        from ttnx.core.canonical import tt_round
+
+        if max(u.ranks) > rmax:
+            u = tt_round(u, max_bond=rmax)
+        return pack_tt(u.astype(dtype), rmax)
+
+    unpack = lambda s: unpack_tt(s, u_rks)
+    return step_fn, pack, unpack

@@ -18,7 +18,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 __all__ = ["tsqr", "tsvd", "cholesky_qr2", "distributed_orthogonalize_core",
            "distributed_truncate_bond"]
@@ -55,9 +55,9 @@ def tsqr(a, mesh: Mesh, axis: str = "dp"):
 
     spec_in = P(axis, None)
     # r2 is bitwise identical on every device (same all-gathered input), but
-    # shard_map cannot prove that statically -> check_rep=False
+    # shard_map cannot prove that statically -> check_vma=False
     fn = shard_map(kernel, mesh=mesh, in_specs=(spec_in,),
-                   out_specs=(spec_in, P(None, None)), check_rep=False)
+                   out_specs=(spec_in, P(None, None)), check_vma=False)
     return fn(a)
 
 
@@ -101,7 +101,7 @@ def cholesky_qr2(a, mesh: Mesh, axis: str = "dp"):
 
     spec_in = P(axis, None)
     fn = shard_map(kernel, mesh=mesh, in_specs=(spec_in,),
-                   out_specs=(spec_in, P(None, None)), check_rep=False)
+                   out_specs=(spec_in, P(None, None)), check_vma=False)
     return fn(a)
 
 
