@@ -188,6 +188,45 @@ def bench_batched_solves():
     return batch / dt
 
 
+def bench_batch_scaling():
+    """Batch-size throughput scaling of the batched scan-ALS on the one real
+    chip: solves/s at batch 16/64/256. Perfectly batched independent solves
+    are the dp-parallel workload collapsed onto one device, so flat
+    solves-per-s-per-problem here plus the virtual-mesh dp measurement
+    (scripts/bench_scaling.py) are the two measurable halves of BASELINE's
+    multi-host scaling target (no second chip is reachable)."""
+    import __graft_entry__
+    from ttnx.parallel.batch import batched_als_sweeps
+
+    A_stack, b_stack, x_stack, masks = __graft_entry__._heat_problem(
+        d=10, rmax=8, dtype=jnp.float32)
+    out = {}
+    for batch in (16, 64, 256):
+        b_batch = jnp.broadcast_to(b_stack, (batch,) + b_stack.shape)
+        x_batch = jnp.broadcast_to(x_stack, (batch,) + x_stack.shape)
+        fn = jax.jit(
+            lambda bb, xb: batched_als_sweeps(A_stack, bb, xb, masks, 2))
+        dt = _time_fn(fn, b_batch, x_batch, warmup=1, iters=3)
+        out[f"batch{batch}_solves_per_s"] = round(batch / dt, 2)
+    return out
+
+
+def bench_dp_scaling_subprocess():
+    """Run the virtual-mesh dp=1/2/4/8 scaling measurement in a CPU
+    subprocess (the in-process platform is pinned to the TPU)."""
+    import os
+    import subprocess
+    import sys
+
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "scripts", "bench_scaling.py")
+    proc = subprocess.run([sys.executable, script], capture_output=True,
+                          text=True, timeout=600)
+    if proc.returncode != 0:
+        raise RuntimeError(proc.stderr[-300:])
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
 def bench_cn_step_d12():
     """One fully-jitted Crank–Nicolson step (matvec + rounding + ALS solve)
     on the d=12 heat problem, f32, rmax=16 — BASELINE's 'd=12 QTT ALS sweep'
@@ -249,6 +288,15 @@ def main():
             extras["batched_solves_per_s"] = round(bench_batched_solves(), 2)
         except Exception as e:
             extras["solves_error"] = str(e)[:200]
+    if os.environ.get("BENCH_SCALING") != "0":
+        try:
+            extras["batch_scaling"] = bench_batch_scaling()
+        except Exception as e:
+            extras["batch_scaling_error"] = str(e)[:200]
+        try:
+            extras["dp_scaling_cpu_mesh"] = bench_dp_scaling_subprocess()
+        except Exception as e:
+            extras["dp_scaling_error"] = str(e)[:200]
     if os.environ.get("BENCH_HEAT") != "0":
         try:
             extras["cn_step_d12_ms"] = round(bench_cn_step_d12(), 3)

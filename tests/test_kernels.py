@@ -44,3 +44,96 @@ def test_merge_resplit_chain_matches_reference_loop(rng):
         c = np.einsum("bmk,bkn->bmn", acc, bn)
         acc = np.einsum("bmn,bnk->bmk", c, wn).astype(np.float32)
     assert np.allclose(np.asarray(out), acc, atol=1e-4)
+
+
+def test_cg_fused_kernel_matches_dense_solve(rng):
+    """cg_solve_fused on an SPD system reproduces the dense solution."""
+    from ttnx.kernels.local_cg import cg_solve_fused
+
+    M = 24
+    A = rng.standard_normal((M, M))
+    K = jnp.asarray(A @ A.T + M * np.eye(M))
+    b = jnp.asarray(rng.standard_normal(M))
+    x = cg_solve_fused(K, b, iters=64, interpret=True)
+    expect = np.linalg.solve(np.asarray(K), np.asarray(b))
+    assert np.allclose(np.asarray(x), expect, atol=1e-10)
+
+
+def test_local_solve_cg_fused_matches_lu(rng):
+    """The solver='cg_fused' local solve agrees with the dense 'lu' path on
+    an SPD masked local system (production dispatch parity). SPD by
+    construction: identity MPO core with PSD left/right environments, so
+    K = L (x) I_n (x) Renv is a Kronecker product of PSD factors."""
+    from ttnx.solvers.als_scan import _local_solve_padded
+
+    R, n, Rb = 5, 2, 3
+    C = rng.standard_normal((R, R))
+    D = rng.standard_normal((R, R))
+    L = jnp.asarray((C @ C.T + np.eye(R))[:, None, :])       # (R, 1, R)
+    Renv = jnp.asarray((D @ D.T + np.eye(R))[:, None, :])
+    Ac = jnp.asarray(np.eye(n)[None, :, :, None])            # (1, n, n, 1)
+    Lb = jnp.asarray(rng.standard_normal((R, Rb)))
+    bc = jnp.asarray(rng.standard_normal((Rb, n, Rb)))
+    Rb_env = jnp.asarray(rng.standard_normal((R, Rb)))
+    m_l = jnp.ones((R,))
+    m_r = jnp.ones((R,)).at[R - 1].set(0.0)  # one padded direction
+    args = (L, Ac, Renv, Lb, bc, Rb_env, m_l, m_r)
+    x_lu = _local_solve_padded(*args, solver="lu")
+    x_fused = _local_solve_padded(*args, solver="cg_fused", cg_iters=128)
+    assert np.allclose(np.asarray(x_fused), np.asarray(x_lu), atol=1e-9)
+    # padded direction stays exactly zero
+    assert np.all(np.asarray(x_fused)[:, :, R - 1] == 0.0)
+
+
+def test_als_sweeps_cg_fused_end_to_end():
+    """Full scan-ALS with solver='cg_fused' solves the README quick-start
+    system to the same accuracy as 'lu' (solver -> Pallas kernel chain)."""
+    import jax
+    import ttnx
+    from ttnx.core.algebra import matvec, sub, norm
+    from ttnx.core.canonical import orthogonalize
+    from ttnx.solvers.als_scan import (als_sweeps, pack_op, pack_tt,
+                                       rank_masks, unpack_tt)
+
+    d = 6
+    A = ttnx.id_tto(d)
+    b = ttnx.qtt_sin(d)
+    key = jax.random.PRNGKey(0)
+    x0 = orthogonalize(ttnx.rand_tt(key, (2,) * d, rmax=4, normalise=True), 0)
+    rks = x0.ranks
+    rmax = 4
+    A_stack = pack_op(A, max(A.ranks))
+    b_stack = pack_tt(b, max(b.ranks))
+    x_stack = pack_tt(x0, rmax)
+    masks = rank_masks(rks, rmax)
+    out = als_sweeps(A_stack, b_stack, x_stack, masks, 4, solver="cg_fused")
+    x = unpack_tt(out, rks)
+    rel = float(norm(sub(matvec(A, x), b)) / norm(b))
+    assert rel < 1e-10
+
+
+def test_als_sweeps_cg_fused_complex_falls_back():
+    """Complex dtype takes the matrix-free CG fallback and still solves."""
+    import jax
+    import ttnx
+    from ttnx.core.algebra import matvec, sub, norm
+    from ttnx.core.canonical import orthogonalize
+    from ttnx.solvers.als_scan import (als_sweeps, pack_op, pack_tt,
+                                       rank_masks, unpack_tt)
+
+    d = 4
+    A = ttnx.id_tto(d).astype(jnp.complex128)
+    b = ttnx.qtt_sin(d).astype(jnp.complex128)
+    key = jax.random.PRNGKey(0)
+    x0 = orthogonalize(
+        ttnx.rand_tt(key, (2,) * d, rmax=3, normalise=True), 0
+    ).astype(jnp.complex128)
+    rks = x0.ranks
+    A_stack = pack_op(A, max(A.ranks))
+    b_stack = pack_tt(b, max(b.ranks))
+    x_stack = pack_tt(x0, 3)
+    masks = rank_masks(rks, 3)
+    out = als_sweeps(A_stack, b_stack, x_stack, masks, 4, solver="cg_fused")
+    x = unpack_tt(out, rks)
+    rel = float(norm(sub(matvec(A, x), b)) / norm(b))
+    assert rel < 1e-8

@@ -179,3 +179,26 @@ class TestGramRounding:
         expect = vec(u0) * np.exp(-lam1 * 5e-7)
         rel = np.linalg.norm(got - expect) / np.linalg.norm(expect)
         assert rel < 1e-12
+
+
+def test_make_cn_evolve_matches_stepping():
+    """The fused-trajectory fori_loop program equals repeated single steps."""
+    import numpy as np
+    import jax.numpy as jnp
+    import ttnx
+    from ttnx.solvers.round_scan import make_cn_evolve, make_cn_step
+
+    d, rmax = 6, 8
+    h_grid = 1.0 / (2 ** d + 1)
+    A = (-1.0 / h_grid ** 2) * ttnx.toeplitz_to_qtto(2.0, -1.0, -1.0, d)
+    u0 = ttnx.qtt_sin(d, a=h_grid, b=1 - h_grid)
+    kwargs = dict(dims=(2,) * d, u_rks=(1,) + (rmax,) * (d - 1) + (1,),
+                  dtype=jnp.float64, sweep_count=2)
+    step_fn, pack, _ = make_cn_step(A, 1e-6, rmax, **kwargs)
+    evolve_fn, pack2, _ = make_cn_evolve(A, 1e-6, rmax, n_steps=3, **kwargs)
+    u = pack(u0)
+    u_loop = u
+    for _ in range(3):
+        u_loop = step_fn(u_loop)
+    u_fused = evolve_fn(pack2(u0))
+    assert np.allclose(np.asarray(u_fused), np.asarray(u_loop), atol=1e-12)

@@ -47,12 +47,12 @@ def two_site_merge(a, b, block_b: int = 32, interpret: bool = False):
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_b, m, k), lambda i: (i, i * 0, i * 0),
-                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+                         memory_space=pl.ANY if interpret else pltpu.VMEM),
             pl.BlockSpec((block_b, k, n), lambda i: (i, i * 0, i * 0),
-                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+                         memory_space=pl.ANY if interpret else pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((block_b, m, n), lambda i: (i, i * 0, i * 0),
-                               memory_space=pltpu.ANY if interpret
+                               memory_space=pl.ANY if interpret
                                else pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, m, n), jnp.float32),
         interpret=interpret,
@@ -113,14 +113,14 @@ def merge_resplit_chain(a, b, w, iters: int = 8, block_b: int = 32,
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_b, rn, r), lambda i: (i, i * 0, i * 0),
-                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+                         memory_space=pl.ANY if interpret else pltpu.VMEM),
             pl.BlockSpec((block_b, r, nr), lambda i: (i, i * 0, i * 0),
-                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+                         memory_space=pl.ANY if interpret else pltpu.VMEM),
             pl.BlockSpec((block_b, nr, r), lambda i: (i, i * 0, i * 0),
-                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+                         memory_space=pl.ANY if interpret else pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((block_b, rn, r), lambda i: (i, i * 0, i * 0),
-                               memory_space=pltpu.ANY if interpret
+                               memory_space=pl.ANY if interpret
                                else pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, rn, r), a.dtype),
         interpret=interpret,

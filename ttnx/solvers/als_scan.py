@@ -142,7 +142,12 @@ def _local_solve_padded(L, Ac, Renv, Lb, bc, Rb_env, m_l, m_r,
     ``solver='cg'`` runs fixed-iteration conjugate gradients with a
     matrix-free masked apply — matmul-only, which both maps better onto the
     MXU and avoids the LU path some TPU toolchains reject inside scans
-    (SPD local operators only, e.g. implicit time stepping)."""
+    (SPD local operators only, e.g. implicit time stepping);
+    ``solver='cg_fused'`` assembles the masked dense operator like 'lu' but
+    runs the whole CG iteration inside one VMEM-resident Pallas kernel
+    (:func:`ttnx.kernels.local_cg.cg_solve_fused`) — the XLA CG loop is
+    latency-bound on its tiny per-iteration HLOs. Falls back to 'cg' for
+    complex dtypes or when K exceeds the VMEM gate."""
     R = L.shape[0]
     n = Ac.shape[1]
     M = R * n * R
@@ -150,6 +155,16 @@ def _local_solve_padded(L, Ac, Renv, Lb, bc, Rb_env, m_l, m_r,
               * jnp.ones((1, n, 1), dtype=m_l.dtype))
     rhs = jnp.einsum("au,uiv,cv->aic", Lb, bc, Rb_env,
                      optimize=True) * maskv3
+    if solver == "cg_fused":
+        from ttnx.kernels.dispatch import can_fuse_local_cg, pallas_interpret
+        from ttnx.kernels.local_cg import cg_solve_fused
+
+        if can_fuse_local_cg(L.dtype, M):
+            K, maskv = _assemble_K_padded(L, Ac, Renv, maskv3)
+            V = cg_solve_fused(K, rhs.reshape(M), iters=cg_iters,
+                               interpret=pallas_interpret())
+            return V.reshape(R, n, R)
+        solver = "cg"
     if solver == "cg":
         def apply_k(v):
             out = jnp.einsum("aWb,WiJw,cwd,bJd->aic", L, Ac, Renv,
@@ -175,16 +190,23 @@ def _local_solve_padded(L, Ac, Renv, Lb, bc, Rb_env, m_l, m_r,
 
         x, _, _, _ = lax.fori_loop(0, cg_iters, body, (x, r, p, rs))
         return x
+    K, maskv = _assemble_K_padded(L, Ac, Renv, maskv3)
+    V = jnp.linalg.solve(K, rhs.reshape(M))
+    return V.reshape(R, n, R)
+
+
+def _assemble_K_padded(L, Ac, Renv, maskv3):
+    """Dense masked local operator: identity on the padded diagonal; a tiny
+    ridge on the active diagonal keeps the solve finite when the state is
+    rank-deficient relative to its mask (zero environment directions -> zero
+    rows with zero rhs -> zero output)."""
+    M = maskv3.size
     K = jnp.einsum("aWb,WiJw,cwd->aicbJd", L, Ac, Renv,
                    optimize=True).reshape(M, M)
     maskv = maskv3.reshape(M)
-    # identity on padded diagonal; a tiny ridge on the active diagonal keeps
-    # the solve finite when the state is rank-deficient relative to its mask
-    # (zero environment directions -> zero rows with zero rhs -> zero output)
     K = (K * maskv[:, None] * maskv[None, :] + jnp.diag(1.0 - maskv)
          + 1e-100 * jnp.diag(maskv))
-    V = jnp.linalg.solve(K, rhs.reshape(M))
-    return V.reshape(R, n, R)
+    return K, maskv
 
 
 def polar_orth(m, iters: int = 14):
@@ -328,8 +350,9 @@ def als_sweeps(A_stack, b_stack, x_stack, masks, sweep_count: int = 2,
                solver: str = "lu", orth: str = "qr"):
     """Run ``sweep_count`` ALS half-sweeps (reference counting semantics:
     2 = forward + backward) as one compiled XLA program."""
-    if solver not in ("lu", "cg"):
-        raise ValueError(f"solver must be 'lu' or 'cg', got {solver!r}")
+    if solver not in ("lu", "cg", "cg_fused"):
+        raise ValueError(
+            f"solver must be 'lu', 'cg' or 'cg_fused', got {solver!r}")
     if orth not in ("qr", "polar"):
         raise ValueError(f"orth must be 'qr' or 'polar', got {orth!r}")
     x = x_stack

@@ -21,7 +21,8 @@ from jax import lax
 from ttnx.core.tt import r_and_d_to_rks
 from ttnx.solvers.als_scan import als_sweeps, rank_masks
 
-__all__ = ["matvec_padded", "tt_round_scan", "cn_step", "make_cn_step"]
+__all__ = ["matvec_padded", "tt_round_scan", "cn_step", "make_cn_step",
+           "make_cn_evolve"]
 
 
 def matvec_padded(A_stack, x_stack):
@@ -157,11 +158,11 @@ def round_masks(in_rks, R_out: int, dims):
 
 
 @partial(jax.jit, static_argnames=("sweep_count", "solver", "orth",
-                                   "round_rhs", "round_method"))
+                                   "round_rhs", "round_method", "precision"))
 def cn_step(lhs_stack, rhs_stack, u_stack, guess_noise, masks_u,
             masks_rhs_big, masks_u_out, sweep_count: int = 4,
             solver: str = "lu", orth: str = "qr", round_rhs: bool = True,
-            round_method: str = "svd"):
+            round_method: str = "svd", precision: str | None = None):
     """One Crank–Nicolson step as a single compiled program:
     ``u <- ALS-solve(lhs, round(rhs_op @ u))`` (reference stepper:
     /root/reference/src/solvers/euler.jl:145-191).
@@ -170,26 +171,39 @@ def cn_step(lhs_stack, rhs_stack, u_stack, guess_noise, masks_u,
     *guess only*: a rank-deficient state makes the ALS environments singular
     and locks the rank; the converged ALS solution is guess-independent, so
     the noise never reaches the output while the RHS stays exact.
+
+    ``precision`` ('highest'|'float32'|None) pins the matmul precision for
+    every contraction in the step. TPU f32 dots default to single-pass bf16
+    inputs (~4e-3 relative per contraction — measured on the v5e probe);
+    'highest' selects the multi-pass f32 form, which costs ~3x MXU cycles on
+    these latency-bound shapes but restores f32-class accuracy.
     """
-    R_out = u_stack.shape[1]
-    big = matvec_padded(rhs_stack, u_stack)
-    if round_rhs:
-        b = tt_round_scan(big, masks_rhs_big, R_out, masks_u_out,
-                          method=round_method)
-    else:
-        # keep the rhs at the applied (Kronecker) rank: larger b environments
-        # but zero dense-linalg primitives in the whole program when combined
-        # with solver='cg' and orth='polar' (pure matmuls -> always compiles
-        # on TPU toolchains that reject LU/QR/SVD inside scans)
-        b = big
-    guess = u_stack + guess_noise
-    return als_sweeps(lhs_stack, b, guess, masks_u, sweep_count,
-                      solver=solver, orth=orth)
+    from contextlib import nullcontext
+
+    ctx = (jax.default_matmul_precision(precision) if precision
+           else nullcontext())
+    with ctx:
+        R_out = u_stack.shape[1]
+        big = matvec_padded(rhs_stack, u_stack)
+        if round_rhs:
+            b = tt_round_scan(big, masks_rhs_big, R_out, masks_u_out,
+                              method=round_method)
+        else:
+            # keep the rhs at the applied (Kronecker) rank: larger b
+            # environments but zero dense-linalg primitives in the whole
+            # program when combined with solver='cg' and orth='polar' (pure
+            # matmuls -> always compiles on TPU toolchains that reject
+            # LU/QR/SVD inside scans)
+            b = big
+        guess = u_stack + guess_noise
+        return als_sweeps(lhs_stack, b, guess, masks_u, sweep_count,
+                          solver=solver, orth=orth)
 
 
 def make_cn_step(A, h: float, rmax: int, dims, u_rks, dtype=jnp.float64,
                  sweep_count: int = 4, solver: str = "lu", orth: str = "qr",
-                 round_rhs: bool = True, round_method: str = "svd"):
+                 round_rhs: bool = True, round_method: str = "svd",
+                 precision: str | None = None):
     """Host-side setup for :func:`cn_step` on ``du/dt = A u``: packs
     ``I -/+ h/2 A`` and builds all masks. Returns ``(step_fn, pack, unpack)``.
     """
@@ -200,8 +214,9 @@ def make_cn_step(A, h: float, rmax: int, dims, u_rks, dtype=jnp.float64,
     if round_method not in ("svd", "gram"):
         raise ValueError(
             f"round_method must be 'svd' or 'gram', got {round_method!r}")
-    if solver not in ("lu", "cg"):
-        raise ValueError(f"solver must be 'lu' or 'cg', got {solver!r}")
+    if solver not in ("lu", "cg", "cg_fused"):
+        raise ValueError(
+            f"solver must be 'lu', 'cg' or 'cg_fused', got {solver!r}")
     if orth not in ("qr", "polar"):
         raise ValueError(f"orth must be 'qr' or 'polar', got {orth!r}")
     d = len(dims)
@@ -243,7 +258,7 @@ def make_cn_step(A, h: float, rmax: int, dims, u_rks, dtype=jnp.float64,
     def step_fn(u_stack):
         return cn_step(lhs_stack, rhs_stack, u_stack, guess_noise, masks_u,
                        masks_big, masks_out, sweep_count, solver, orth,
-                       round_rhs, round_method)
+                       round_rhs, round_method, precision)
 
     def pack(u):
         from ttnx.core.canonical import tt_round
@@ -254,3 +269,24 @@ def make_cn_step(A, h: float, rmax: int, dims, u_rks, dtype=jnp.float64,
 
     unpack = lambda s: unpack_tt(s, u_rks)
     return step_fn, pack, unpack
+
+
+def make_cn_evolve(A, h: float, rmax: int, dims, u_rks, n_steps: int,
+                   **kwargs):
+    """Whole-trajectory Crank–Nicolson as ONE compiled program:
+    ``lax.fori_loop`` over :func:`cn_step`, so ``n_steps`` of time evolution
+    cost a single dispatch. On the remote-TPU ('axon') tunnel every dispatch
+    is a ~25 ms RPC round trip — per-step timing of a single-step program is
+    dominated by that floor, while the fused trajectory amortizes it to
+    nothing (this is also just the right way to run long evolutions on any
+    TPU: no host round trips, XLA pipelines the whole loop).
+
+    Returns ``(evolve_fn, pack, unpack)`` with ``evolve_fn(u_stack) ->
+    u_stack after n_steps``."""
+    step_fn, pack, unpack = make_cn_step(A, h, rmax, dims, u_rks, **kwargs)
+
+    @jax.jit
+    def evolve_fn(u_stack):
+        return lax.fori_loop(0, n_steps, lambda i, u: step_fn(u), u_stack)
+
+    return evolve_fn, pack, unpack
