@@ -228,14 +228,31 @@ def bench_dp_scaling_subprocess():
 
 
 def bench_cn_step_d12():
-    """One fully-jitted Crank–Nicolson step (matvec + rounding + ALS solve)
-    on the d=12 heat problem, f32, rmax=16 — BASELINE's 'd=12 QTT ALS sweep'
-    metric measured on its production pipeline."""
+    """Per-step time of the fully-jitted d=12 Crank–Nicolson step (matvec +
+    rounding + Pallas-fused ALS solve), f32, rmax=16 — BASELINE config 2 on
+    its production pipeline.
+
+    Measured as a 16-step async-dispatch chain with ONE host sync: on the
+    axon tunnel each synced call pays a ~25 ms RPC floor, while async
+    dispatches pipeline (measured 2026-08-20: 6.2 ms/step chained vs 30 ms
+    apparent per synced call; the lax.fori_loop-fused trajectory is slower,
+    91 ms/step — the while-loop form defeats cross-step pipelining)."""
     import __graft_entry__
 
     fn, args = __graft_entry__.entry()
-    dt = _time_fn(fn, *args, warmup=1, iters=5)
-    return dt * 1e3  # ms
+    u = args[0]
+    out = fn(u)
+    _sync(out)  # compile + warm
+    n = 16
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        v = u
+        for _ in range(n):
+            v = fn(v)
+        _sync(v)
+        ts.append(time.perf_counter() - t0)
+    return min(ts) / n * 1e3  # ms per step
 
 
 def bench_als_sweep_d12():
@@ -252,11 +269,21 @@ def bench_als_sweep_d12():
 def main():
     import os
 
+    # Wall-clock budget: the first remote compile of a session can eat many
+    # minutes on its own, so each optional section checks the clock and is
+    # skipped (recorded as *_skipped_budget) rather than blowing the
+    # driver's bench window.
+    t_start = time.time()
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", 840))
+
+    def over_budget():
+        return time.time() - t_start > budget_s
+
     extras = {}
     gflops, dt_contract = bench_rank64_contraction()
     extras["contract_us"] = round(dt_contract * 1e6, 2)
     extras["xla_chain_gflops"] = round(gflops, 1)
-    # the fused Pallas path beats the XLA loop (~81 vs ~38 TFLOP/s on v5e)
+    # the fused Pallas path beats the XLA loop (~81 vs ~28 TFLOP/s on v5e)
     # and compiles in seconds once the session is warm; it is the production
     # kernel for this shape, so it sets the primary metric when it runs
     if os.environ.get("BENCH_PALLAS") != "0":
@@ -274,39 +301,55 @@ def main():
     extras["frac_of_hw_peak"] = round(gflops / V5E_BF16_PEAK_GFLOPS, 4)
     extras["frac_of_k64_ceiling"] = round(
         gflops / K64_MATMUL_ROOFLINE_GFLOPS, 4)
-    if os.environ.get("BENCH_ROOFLINE") != "0":
+
+    # end-to-end device numbers, most important first (BASELINE config 2
+    # headline, then scaling proxies, then roofline context)
+    if os.environ.get("BENCH_HEAT") != "0":
         try:
-            k64, peak = bench_matmul_roofline()
-            extras["xla_k64_chain_gflops"] = round(k64, 1)  # HBM-bound
-            extras["square_matmul_chain_gflops"] = round(peak, 1)
+            if over_budget():
+                extras["cn_step_skipped_budget"] = True
+            else:
+                extras["cn_step_d12_ms"] = round(bench_cn_step_d12(), 3)
         except Exception as e:
-            extras["roofline_error"] = str(e)[:200]
-    # end-to-end device numbers (BASELINE configs 2 + scaling proxy) run by
-    # default — set BENCH_SOLVES=0 / BENCH_HEAT=0 to skip
+            extras["cn_step_error"] = str(e)[:200]
     if os.environ.get("BENCH_SOLVES") != "0":
         try:
-            extras["batched_solves_per_s"] = round(bench_batched_solves(), 2)
+            if over_budget():
+                extras["solves_skipped_budget"] = True
+            else:
+                extras["batched_solves_per_s"] = round(
+                    bench_batched_solves(), 2)
         except Exception as e:
             extras["solves_error"] = str(e)[:200]
     if os.environ.get("BENCH_SCALING") != "0":
         try:
-            extras["batch_scaling"] = bench_batch_scaling()
+            if over_budget():
+                extras["batch_scaling_skipped_budget"] = True
+            else:
+                extras["batch_scaling"] = bench_batch_scaling()
         except Exception as e:
             extras["batch_scaling_error"] = str(e)[:200]
         try:
+            # CPU subprocess — no TPU compiles, cheap even over budget
             extras["dp_scaling_cpu_mesh"] = bench_dp_scaling_subprocess()
         except Exception as e:
             extras["dp_scaling_error"] = str(e)[:200]
-    if os.environ.get("BENCH_HEAT") != "0":
+    if os.environ.get("BENCH_ROOFLINE") != "0":
         try:
-            extras["cn_step_d12_ms"] = round(bench_cn_step_d12(), 3)
+            if over_budget():
+                extras["roofline_skipped_budget"] = True
+            else:
+                k64, peak = bench_matmul_roofline()
+                extras["xla_k64_chain_gflops"] = round(k64, 1)  # HBM-bound
+                extras["square_matmul_chain_gflops"] = round(peak, 1)
         except Exception as e:
-            extras["cn_step_error"] = str(e)[:200]
+            extras["roofline_error"] = str(e)[:200]
     if os.environ.get("BENCH_ALS") == "1":
         try:
             extras["als_sweep_d12_ms"] = round(bench_als_sweep_d12(), 3)
         except Exception as e:
             extras["als_sweep_error"] = str(e)[:200]
+    extras["bench_wall_s"] = round(time.time() - t_start, 1)
 
     result = {
         "metric": "rank64_core_contraction_gflops_per_chip",

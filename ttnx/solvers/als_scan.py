@@ -246,7 +246,7 @@ def polar_orth(m, iters: int = 14):
 
 
 def _forward_half_sweep(x, A, b, Renvs, Rb_envs, masks, solver="lu",
-                        orth="qr"):
+                        orth="qr", cg_iters=48):
     """Solve sites 0..d-2 moving right; returns new cores and the pending
     triangular factor for the last site."""
     d, R, n, _ = x.shape
@@ -261,7 +261,7 @@ def _forward_half_sweep(x, A, b, Renvs, Rb_envs, masks, solver="lu",
         L, Lb, _T = carry
         Ac, bc, Renv, Rb_env, m_l, m_r = inp
         V = _local_solve_padded(L, Ac, Renv, Lb, bc, Rb_env, m_l, m_r,
-                                solver=solver)
+                                solver=solver, cg_iters=cg_iters)
         if orth == "polar":
             q, r = polar_orth(V.reshape(R * n, R))
         else:
@@ -284,7 +284,7 @@ def _forward_half_sweep(x, A, b, Renvs, Rb_envs, masks, solver="lu",
 
 
 def _backward_half_sweep(x, A, b, Lenvs, Lb_envs, masks, solver="lu",
-                         orth="qr"):
+                         orth="qr", cg_iters=48):
     """Solve sites d-1..1 moving left; site 0 absorbs the final factor."""
     d, R, n, _ = x.shape
     dt = x.dtype
@@ -298,7 +298,7 @@ def _backward_half_sweep(x, A, b, Lenvs, Lb_envs, masks, solver="lu",
         Renv, Rb_env, _T = carry
         Ac, bc, Lenv, Lb_env, m_l, m_r = inp
         V = _local_solve_padded(Lenv, Ac, Renv, Lb_env, bc, Rb_env, m_l, m_r,
-                                solver=solver)
+                                solver=solver, cg_iters=cg_iters)
         if orth == "polar":
             qt, rt = polar_orth(V.reshape(R, n * R).T)
         else:
@@ -345,9 +345,10 @@ def _left_env_stack(x, A, b, mask_r):
     return envs, envs_b
 
 
-@partial(jax.jit, static_argnames=("sweep_count", "solver", "orth"))
+@partial(jax.jit, static_argnames=("sweep_count", "solver", "orth",
+                                   "cg_iters"))
 def als_sweeps(A_stack, b_stack, x_stack, masks, sweep_count: int = 2,
-               solver: str = "lu", orth: str = "qr"):
+               solver: str = "lu", orth: str = "qr", cg_iters: int = 48):
     """Run ``sweep_count`` ALS half-sweeps (reference counting semantics:
     2 = forward + backward) as one compiled XLA program."""
     if solver not in ("lu", "cg", "cg_fused"):
@@ -360,13 +361,13 @@ def als_sweeps(A_stack, b_stack, x_stack, masks, sweep_count: int = 2,
     while half < sweep_count:
         Renvs, Rb_envs = _right_env_stack(x, A_stack, b_stack, masks[1:])
         x = _forward_half_sweep(x, A_stack, b_stack, Renvs, Rb_envs, masks,
-                                solver=solver, orth=orth)
+                                solver=solver, orth=orth, cg_iters=cg_iters)
         half += 1
         if half >= sweep_count:
             break
         Lenvs, Lb_envs = _left_env_stack(x, A_stack, b_stack, masks[1:])
         x = _backward_half_sweep(x, A_stack, b_stack, Lenvs, Lb_envs, masks,
-                                 solver=solver, orth=orth)
+                                 solver=solver, orth=orth, cg_iters=cg_iters)
         half += 1
     return x
 

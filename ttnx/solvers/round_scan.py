@@ -158,11 +158,13 @@ def round_masks(in_rks, R_out: int, dims):
 
 
 @partial(jax.jit, static_argnames=("sweep_count", "solver", "orth",
-                                   "round_rhs", "round_method", "precision"))
+                                   "round_rhs", "round_method", "precision",
+                                   "cg_iters"))
 def cn_step(lhs_stack, rhs_stack, u_stack, guess_noise, masks_u,
             masks_rhs_big, masks_u_out, sweep_count: int = 4,
             solver: str = "lu", orth: str = "qr", round_rhs: bool = True,
-            round_method: str = "svd", precision: str | None = None):
+            round_method: str = "svd", precision: str | None = None,
+            cg_iters: int = 48):
     """One Crank–Nicolson step as a single compiled program:
     ``u <- ALS-solve(lhs, round(rhs_op @ u))`` (reference stepper:
     /root/reference/src/solvers/euler.jl:145-191).
@@ -197,13 +199,13 @@ def cn_step(lhs_stack, rhs_stack, u_stack, guess_noise, masks_u,
             b = big
         guess = u_stack + guess_noise
         return als_sweeps(lhs_stack, b, guess, masks_u, sweep_count,
-                          solver=solver, orth=orth)
+                          solver=solver, orth=orth, cg_iters=cg_iters)
 
 
 def make_cn_step(A, h: float, rmax: int, dims, u_rks, dtype=jnp.float64,
                  sweep_count: int = 4, solver: str = "lu", orth: str = "qr",
                  round_rhs: bool = True, round_method: str = "svd",
-                 precision: str | None = None):
+                 precision: str | None = None, cg_iters: int = 48):
     """Host-side setup for :func:`cn_step` on ``du/dt = A u``: packs
     ``I -/+ h/2 A`` and builds all masks. Returns ``(step_fn, pack, unpack)``.
     """
@@ -258,7 +260,7 @@ def make_cn_step(A, h: float, rmax: int, dims, u_rks, dtype=jnp.float64,
     def step_fn(u_stack):
         return cn_step(lhs_stack, rhs_stack, u_stack, guess_noise, masks_u,
                        masks_big, masks_out, sweep_count, solver, orth,
-                       round_rhs, round_method, precision)
+                       round_rhs, round_method, precision, cg_iters)
 
     def pack(u):
         from ttnx.core.canonical import tt_round
