@@ -177,3 +177,29 @@ class TestParallel:
             rel = np.linalg.norm(vec(outs[k]) - vec(bs[k])) / np.linalg.norm(
                 vec(bs[k]))
             assert rel < 1e-11
+
+
+def test_batched_cg_fused_matches_lu_gauge_invariant():
+    """vmapped solver='cg_fused' (batched Pallas kernel) solves identically
+    to 'lu' on the represented vectors (cores differ only in gauge)."""
+    import numpy as np
+    import jax.numpy as jnp
+    import __graft_entry__
+    from ttnx.core.decomp import ttv_to_tensor
+    from ttnx.parallel.batch import batched_als_sweeps
+    from ttnx.solvers.als_scan import unpack_tt
+
+    A, b, x, masks = __graft_entry__._heat_problem(d=6, rmax=4,
+                                                   dtype=jnp.float64)
+    rks = [int(m.sum()) for m in np.asarray(masks)]
+
+    def dense(stack):
+        return np.asarray(ttv_to_tensor(unpack_tt(stack, rks))).reshape(-1)
+
+    bb = jnp.broadcast_to(b, (3,) + b.shape)
+    xb = jnp.broadcast_to(x, (3,) + x.shape)
+    out_lu = batched_als_sweeps(A, bb, xb, masks, 2, solver="lu")
+    out_cf = batched_als_sweeps(A, bb, xb, masks, 2, solver="cg_fused")
+    for k in range(3):
+        v_lu, v_cf = dense(out_lu[k]), dense(out_cf[k])
+        assert np.linalg.norm(v_cf - v_lu) / np.linalg.norm(v_lu) < 1e-10

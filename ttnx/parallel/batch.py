@@ -39,11 +39,15 @@ def make_mesh(dp: int | None = None, tp: int = 1, devices=None) -> Mesh:
     return Mesh(dev_array, axis_names=("dp", "tp"))
 
 
-def batched_als_sweeps(A_stack, b_batch, x_batch, masks, sweep_count: int = 2):
+def batched_als_sweeps(A_stack, b_batch, x_batch, masks, sweep_count: int = 2,
+                       solver: str = "lu"):
     """vmap of the scan-based ALS over a leading problem axis: one operator,
-    a batch of right-hand sides and initial guesses."""
+    a batch of right-hand sides and initial guesses. ``solver='cg_fused'``
+    batches the Pallas local-CG kernel via its vmap rule (the kernel grid
+    gains a batch dimension)."""
     fn = jax.vmap(
-        lambda b, x: als_sweeps(A_stack, b, x, masks, sweep_count),
+        lambda b, x: als_sweeps(A_stack, b, x, masks, sweep_count,
+                                solver=solver),
         in_axes=(0, 0))
     return fn(b_batch, x_batch)
 
@@ -61,7 +65,7 @@ def shard_batched_problem(mesh: Mesh, A_stack, b_batch, x_batch, masks):
 
 def batched_als_linsolve(mesh: Mesh, A: TTOperator, bs: list[TTVector],
                          x0s: list[TTVector], sweep_count: int = 2,
-                         rmax: int | None = None):
+                         rmax: int | None = None, solver: str = "lu"):
     """Solve many independent ``A x = b_k`` problems across the mesh.
 
     All problems must share dims and the rank profile of ``x0s[0]`` (pad your
@@ -85,5 +89,6 @@ def batched_als_linsolve(mesh: Mesh, A: TTOperator, bs: list[TTVector],
     A_sh, b_sh, x_sh, m_sh = shard_batched_problem(
         mesh, A_stack, b_batch, x_batch, masks)
     with mesh:
-        out = batched_als_sweeps(A_sh, b_sh, x_sh, m_sh, sweep_count)
+        out = batched_als_sweeps(A_sh, b_sh, x_sh, m_sh, sweep_count,
+                                 solver=solver)
     return [unpack_tt(out[k], rks) for k in range(len(bs))]
