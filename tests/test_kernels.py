@@ -137,3 +137,49 @@ def test_als_sweeps_cg_fused_complex_falls_back():
     x = unpack_tt(out, rks)
     rel = float(norm(sub(matvec(A, x), b)) / norm(b))
     assert rel < 1e-8
+
+
+def test_bicgstab_fused_kernel_nonsymmetric(rng):
+    """bicgstab_solve_fused solves a general non-symmetric system."""
+    from ttnx.kernels.local_cg import bicgstab_solve_fused
+
+    M = 24
+    A = rng.standard_normal((M, M))
+    K = jnp.asarray(A / np.sqrt(M) + 2.0 * np.eye(M))   # diag-dominant
+    b = jnp.asarray(rng.standard_normal(M))
+    x = bicgstab_solve_fused(K, b, iters=64, interpret=True)
+    expect = np.linalg.solve(np.asarray(K), np.asarray(b))
+    assert np.allclose(np.asarray(x), expect, atol=1e-9)
+
+
+def test_cn_step_bicgstab_fused_convection_diffusion():
+    """End-to-end CN step on a NON-symmetric convection-diffusion generator:
+    solver='bicgstab_fused' matches 'lu' on the represented solution."""
+    import jax
+    import ttnx
+    from ttnx.core.decomp import ttv_to_tensor
+    from ttnx.solvers.round_scan import make_cn_step
+
+    d, rmax = 6, 8
+    n_grid = 2 ** d
+    h_grid = 1.0 / (n_grid + 1)
+    from ttnx.core.algebra import add_op, scale_op
+
+    # kappa * Laplacian + c * central first derivative (non-symmetric)
+    A = add_op(
+        scale_op(-0.1 / h_grid ** 2,
+                 ttnx.toeplitz_to_qtto(2.0, -1.0, -1.0, d)),
+        scale_op(2.0 / (2 * h_grid),
+                 ttnx.toeplitz_to_qtto(0.0, 1.0, -1.0, d)))
+    u0 = ttnx.qtt_sin(d, a=h_grid, b=1 - h_grid)
+    kwargs = dict(dims=(2,) * d, u_rks=(1,) + (rmax,) * (d - 1) + (1,),
+                  dtype=jnp.float64, sweep_count=2)
+    outs = {}
+    for solver in ("lu", "bicgstab_fused"):
+        step_fn, pack, unpack = make_cn_step(A, 1e-5, rmax, solver=solver,
+                                             cg_iters=96, **kwargs)
+        outs[solver] = np.asarray(
+            ttv_to_tensor(unpack(step_fn(pack(u0))))).reshape(-1)
+    rel = (np.linalg.norm(outs["bicgstab_fused"] - outs["lu"])
+           / np.linalg.norm(outs["lu"]))
+    assert rel < 1e-9, rel

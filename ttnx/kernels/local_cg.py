@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["cg_solve_fused", "fits_vmem"]
+__all__ = ["cg_solve_fused", "bicgstab_solve_fused", "fits_vmem"]
 
 
 def fits_vmem(M: int) -> bool:
@@ -76,6 +76,74 @@ def _cg_kernel(K_ref, b_ref, out_ref, *, iters: int):
 
     x, _, _, _ = jax.lax.fori_loop(0, iters, body, (x, r, p, rs))
     out_ref[:] = x
+
+
+def _matvec_rowform(p, K, dt):
+    """(1, M) x (M, M) -> (1, M): ``out[i] = sum_j p_j K[i, j]`` — i.e.
+    ``K @ p`` for ANY K, with no transpose materialized (the contraction
+    runs over the second axis of both operands)."""
+    return jax.lax.dot_general(
+        p, K, (((1,), (1,)), ((), ())), preferred_element_type=dt,
+        precision=jax.lax.Precision.HIGHEST)
+
+
+def _bicgstab_kernel(Kt_ref, b_ref, out_ref, *, iters: int):
+    """Unpreconditioned BiCGStab, all iterates VMEM-resident. Scalars are
+    (1,1) MXU dot_generals (no vector reductions — see module docstring).
+    Handles non-symmetric local operators (convection, OU drift) that CG
+    cannot."""
+    Kt = Kt_ref[:]
+    b = b_ref[:]                     # (1, M)
+    dt = b.dtype
+    x = jnp.zeros_like(b)
+    r = b
+    rhat = b
+    rho = _rowdot(rhat, r, dt)
+    p = r
+    v = jnp.zeros_like(b)
+
+    def safe_div(a, c):
+        return jnp.where(jnp.abs(c) > 0, a / jnp.where(jnp.abs(c) > 0, c,
+                                                       jnp.ones_like(c)),
+                         jnp.zeros_like(a))
+
+    def body(_, state):
+        x, r, p, v, rho = state
+        v = _matvec_rowform(p, Kt, dt)
+        alpha = safe_div(rho, _rowdot(rhat, v, dt))
+        s = r - alpha * v
+        t = _matvec_rowform(s, Kt, dt)
+        omega = safe_div(_rowdot(t, s, dt), _rowdot(t, t, dt))
+        x = x + alpha * p + omega * s
+        r = s - omega * t
+        rho_new = _rowdot(rhat, r, dt)
+        beta = safe_div(rho_new, rho) * safe_div(alpha, omega)
+        p = r + beta * (p - omega * v)
+        return (x, r, p, v, rho_new)
+
+    x, _, _, _, _ = jax.lax.fori_loop(0, iters, body, (x, r, p, v, rho))
+    out_ref[:] = x
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "interpret"))
+def bicgstab_solve_fused(K, rhs, iters: int = 32, interpret: bool = False):
+    """Solve ``K x = rhs`` for a general (possibly non-symmetric) ``K`` by
+    ``iters`` BiCGStab steps fused into one Pallas kernel (2 matvecs per
+    iteration); every matvec is the transpose-free row form."""
+    M = K.shape[0]
+    b2 = rhs.reshape(1, M)
+    out = pl.pallas_call(
+        functools.partial(_bicgstab_kernel, iters=iters),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY if interpret
+                               else pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, M), rhs.dtype),
+        interpret=interpret,
+    )(K, b2)
+    return out.reshape(M)
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "interpret"))

@@ -155,16 +155,22 @@ def _local_solve_padded(L, Ac, Renv, Lb, bc, Rb_env, m_l, m_r,
               * jnp.ones((1, n, 1), dtype=m_l.dtype))
     rhs = jnp.einsum("au,uiv,cv->aic", Lb, bc, Rb_env,
                      optimize=True) * maskv3
-    if solver == "cg_fused":
+    if solver in ("cg_fused", "bicgstab_fused"):
         from ttnx.kernels.dispatch import can_fuse_local_cg, pallas_interpret
-        from ttnx.kernels.local_cg import cg_solve_fused
+        from ttnx.kernels.local_cg import bicgstab_solve_fused, cg_solve_fused
 
         if can_fuse_local_cg(L.dtype, M):
             K, maskv = _assemble_K_padded(L, Ac, Renv, maskv3)
-            V = cg_solve_fused(K, rhs.reshape(M), iters=cg_iters,
-                               interpret=pallas_interpret())
+            if solver == "bicgstab_fused":
+                V = bicgstab_solve_fused(K, rhs.reshape(M), iters=cg_iters,
+                                         interpret=pallas_interpret())
+            else:
+                V = cg_solve_fused(K, rhs.reshape(M), iters=cg_iters,
+                                   interpret=pallas_interpret())
             return V.reshape(R, n, R)
-        solver = "cg"
+        # complex / oversized fallbacks: CG is SPD-only, so the
+        # non-symmetric-capable path falls back to the dense solve
+        solver = "cg" if solver == "cg_fused" else "lu"
     if solver == "cg":
         def apply_k(v):
             out = jnp.einsum("aWb,WiJw,cwd,bJd->aic", L, Ac, Renv,
@@ -351,9 +357,10 @@ def als_sweeps(A_stack, b_stack, x_stack, masks, sweep_count: int = 2,
                solver: str = "lu", orth: str = "qr", cg_iters: int = 48):
     """Run ``sweep_count`` ALS half-sweeps (reference counting semantics:
     2 = forward + backward) as one compiled XLA program."""
-    if solver not in ("lu", "cg", "cg_fused"):
+    if solver not in ("lu", "cg", "cg_fused", "bicgstab_fused"):
         raise ValueError(
-            f"solver must be 'lu', 'cg' or 'cg_fused', got {solver!r}")
+            "solver must be 'lu', 'cg', 'cg_fused' or 'bicgstab_fused', "
+            f"got {solver!r}")
     if orth not in ("qr", "polar"):
         raise ValueError(f"orth must be 'qr' or 'polar', got {orth!r}")
     x = x_stack

@@ -216,9 +216,10 @@ def make_cn_step(A, h: float, rmax: int, dims, u_rks, dtype=jnp.float64,
     if round_method not in ("svd", "gram"):
         raise ValueError(
             f"round_method must be 'svd' or 'gram', got {round_method!r}")
-    if solver not in ("lu", "cg", "cg_fused"):
+    if solver not in ("lu", "cg", "cg_fused", "bicgstab_fused"):
         raise ValueError(
-            f"solver must be 'lu', 'cg' or 'cg_fused', got {solver!r}")
+            "solver must be 'lu', 'cg', 'cg_fused' or 'bicgstab_fused', "
+            f"got {solver!r}")
     if orth not in ("qr", "polar"):
         raise ValueError(f"orth must be 'qr' or 'polar', got {orth!r}")
     d = len(dims)
@@ -284,7 +285,14 @@ def make_cn_evolve(A, h: float, rmax: int, dims, u_rks, n_steps: int,
     TPU: no host round trips, XLA pipelines the whole loop).
 
     Returns ``(evolve_fn, pack, unpack)`` with ``evolve_fn(u_stack) ->
-    u_stack after n_steps``."""
+    u_stack after n_steps``.
+
+    CAUTION (remote-TPU 'axon' toolchain, measured 2026-08-20): small
+    ``n_steps`` compile fine (4 trips -> 4.6 s warm) but ran 15x slower
+    per step than chaining async single-step dispatches, and a 32-trip
+    program wedged the remote compile service for over an hour. On that
+    platform prefer ``make_cn_step`` + an async dispatch chain with one
+    final sync; use this fused form on direct-attached TPUs."""
     step_fn, pack, unpack = make_cn_step(A, h, rmax, dims, u_rks, **kwargs)
 
     @jax.jit
