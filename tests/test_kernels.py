@@ -183,3 +183,73 @@ def test_cn_step_bicgstab_fused_convection_diffusion():
     rel = (np.linalg.norm(outs["bicgstab_fused"] - outs["lu"])
            / np.linalg.norm(outs["lu"]))
     assert rel < 1e-9, rel
+
+
+def _dense_cn_reference(A, u0, h):
+    """Exact dense CN step on the 2^d grid."""
+    from ttnx.core.decomp import ttv_to_tensor
+    from ttnx.ops.qtt import qtto_to_matrix
+
+    Ad = np.asarray(qtto_to_matrix(A))
+    ud = np.asarray(ttv_to_tensor(u0)).reshape(-1)
+    eye = np.eye(Ad.shape[0])
+    return np.linalg.solve(eye - h / 2 * Ad, (eye + h / 2 * Ad) @ ud)
+
+
+def test_cn_step_bicgstab_fused_oversized_M_falls_back_matrix_free():
+    """Buffer rank large enough that M = R*n*R exceeds the VMEM gate (1024):
+    'bicgstab_fused' must fall back to the matrix-free einsum BiCGStab (NOT
+    dense LU) and still produce the exact CN step (d=4 is full-rank
+    representable)."""
+    import jax
+    import ttnx
+    from ttnx.core.algebra import add_op, scale_op
+    from ttnx.core.decomp import ttv_to_tensor
+    from ttnx.kernels.dispatch import can_fuse_local_cg
+    from ttnx.solvers.round_scan import make_cn_step
+
+    d, rmax = 4, 24                      # M = 24*2*24 = 1152 > 1024
+    assert not can_fuse_local_cg(jnp.float64, rmax * 2 * rmax)
+    n_grid = 2 ** d
+    h_grid = 1.0 / (n_grid + 1)
+    A = add_op(
+        scale_op(-0.05 / h_grid ** 2,
+                 ttnx.toeplitz_to_qtto(2.0, -1.0, -1.0, d)),
+        scale_op(1.0 / (2 * h_grid),
+                 ttnx.toeplitz_to_qtto(0.0, 1.0, -1.0, d)))
+    u0 = ttnx.qtt_sin(d, a=h_grid, b=1 - h_grid)
+    h = 1e-4
+    step_fn, pack, unpack = make_cn_step(
+        A, h, rmax, dims=(2,) * d, u_rks=(1,) + (rmax,) * (d - 1) + (1,),
+        dtype=jnp.float64, sweep_count=4, solver="bicgstab_fused",
+        cg_iters=128)
+    out = np.asarray(ttv_to_tensor(unpack(step_fn(pack(u0))))).reshape(-1)
+    expect = _dense_cn_reference(A, u0, h)
+    rel = np.linalg.norm(out - expect) / np.linalg.norm(expect)
+    assert rel < 1e-9, rel
+
+
+def test_cn_step_bicgstab_fused_complex_falls_back_matrix_free():
+    """Complex dtype cannot enter the Pallas kernel: 'bicgstab_fused' falls
+    back to matrix-free complex BiCGStab and matches the dense CN step of a
+    Schrodinger-type (anti-Hermitian) generator."""
+    import ttnx
+    from ttnx.core.algebra import scale_op
+    from ttnx.core.decomp import ttv_to_tensor
+    from ttnx.solvers.round_scan import make_cn_step
+
+    d, rmax = 4, 6
+    n_grid = 2 ** d
+    h_grid = 1.0 / (n_grid + 1)
+    A = scale_op(-0.05j / h_grid ** 2,
+                 ttnx.toeplitz_to_qtto(2.0, -1.0, -1.0, d))
+    u0 = ttnx.qtt_sin(d, a=h_grid, b=1 - h_grid).astype(jnp.complex128)
+    h = 1e-4
+    step_fn, pack, unpack = make_cn_step(
+        A, h, rmax, dims=(2,) * d, u_rks=(1,) + (rmax,) * (d - 1) + (1,),
+        dtype=jnp.complex128, sweep_count=4, solver="bicgstab_fused",
+        cg_iters=128)
+    out = np.asarray(ttv_to_tensor(unpack(step_fn(pack(u0))))).reshape(-1)
+    expect = _dense_cn_reference(A, u0, h)
+    rel = np.linalg.norm(out - expect) / np.linalg.norm(expect)
+    assert rel < 1e-9, rel

@@ -26,9 +26,10 @@ __all__ = ["pallas_interpret", "can_fuse_local_cg"]
 
 
 def pallas_interpret() -> bool:
-    """True when Pallas kernels must run in interpret mode (non-TPU
-    backends). Trace-time constant: the backend is fixed per process."""
-    return jax.default_backend() == "cpu"
+    """True when Pallas kernels must run in interpret mode (any non-TPU
+    backend — the kernels use pltpu.VMEM memory spaces, which only Mosaic
+    understands). Trace-time constant: the backend is fixed per process."""
+    return jax.default_backend() != "tpu"
 
 
 def can_fuse_local_cg(dtype, M: int) -> bool:

@@ -126,7 +126,6 @@ def gram_round_dist(y, masks_y, R_out: int, masks_out, mesh: Mesh,
     if R % p != 0:
         raise ValueError(f"padded rank {R} not divisible by {axis}={p}")
     kernel = partial(_round_kernel, R_out=R_out, axis=axis)
-    other = tuple(a for a in mesh.axis_names if a != axis)
     fn = shard_map(
         kernel, mesh=mesh,
         in_specs=(P(None, None, None, axis), P(), P()),

@@ -146,8 +146,12 @@ def _local_solve_padded(L, Ac, Renv, Lb, bc, Rb_env, m_l, m_r,
     ``solver='cg_fused'`` assembles the masked dense operator like 'lu' but
     runs the whole CG iteration inside one VMEM-resident Pallas kernel
     (:func:`ttnx.kernels.local_cg.cg_solve_fused`) — the XLA CG loop is
-    latency-bound on its tiny per-iteration HLOs. Falls back to 'cg' for
-    complex dtypes or when K exceeds the VMEM gate."""
+    latency-bound on its tiny per-iteration HLOs. ``solver='bicgstab'`` is
+    the matrix-free non-symmetric analog of 'cg'; ``'bicgstab_fused'`` its
+    Pallas form. The fused solvers fall back to their matrix-free einsum
+    forms ('cg' / 'bicgstab') for complex dtypes or when K exceeds the VMEM
+    gate — never to the dense 'lu' path (which some TPU toolchains reject
+    inside scans)."""
     R = L.shape[0]
     n = Ac.shape[1]
     M = R * n * R
@@ -168,33 +172,65 @@ def _local_solve_padded(L, Ac, Renv, Lb, bc, Rb_env, m_l, m_r,
                 V = cg_solve_fused(K, rhs.reshape(M), iters=cg_iters,
                                    interpret=pallas_interpret())
             return V.reshape(R, n, R)
-        # complex / oversized fallbacks: CG is SPD-only, so the
-        # non-symmetric-capable path falls back to the dense solve
-        solver = "cg" if solver == "cg_fused" else "lu"
-    if solver == "cg":
+        # complex / oversized fallbacks stay matrix-free (einsum applies):
+        # 'cg' for the SPD kernel, 'bicgstab' for the non-symmetric one
+        solver = "cg" if solver == "cg_fused" else "bicgstab"
+    if solver in ("cg", "bicgstab"):
         def apply_k(v):
             out = jnp.einsum("aWb,WiJw,cwd,bJd->aic", L, Ac, Renv,
                              v * maskv3, optimize=True)
             return out * maskv3 + (1.0 - maskv3) * v
 
+        if solver == "cg":
+            x = jnp.zeros_like(rhs)
+            r = rhs
+            p = r
+            rs = jnp.vdot(r, r)
+
+            def body(_, state):
+                x, r, p, rs = state
+                ap = apply_k(p)
+                denom = jnp.vdot(p, ap)
+                alpha = jnp.where(jnp.abs(denom) > 0, rs / denom, 0.0)
+                x = x + alpha * p
+                r = r - alpha * ap
+                rs_new = jnp.vdot(r, r)
+                beta = jnp.where(jnp.abs(rs) > 0, rs_new / rs, 0.0)
+                p = r + beta * p
+                return (x, r, p, rs_new)
+
+            x, _, _, _ = lax.fori_loop(0, cg_iters, body, (x, r, p, rs))
+            return x
+
+        # matrix-free BiCGStab (non-symmetric local operators: convection,
+        # OU drift) — same update scheme as the fused Pallas kernel, with
+        # proper conjugated inner products for complex dtypes
+        def safe_div(a, c):
+            ok = jnp.abs(c) > 0
+            return jnp.where(ok, a / jnp.where(ok, c, 1.0), 0.0)
+
         x = jnp.zeros_like(rhs)
         r = rhs
+        rhat = rhs
+        rho = jnp.vdot(rhat, r)
         p = r
-        rs = jnp.vdot(r, r)
+        v = jnp.zeros_like(rhs)
 
         def body(_, state):
-            x, r, p, rs = state
-            ap = apply_k(p)
-            denom = jnp.vdot(p, ap)
-            alpha = jnp.where(jnp.abs(denom) > 0, rs / denom, 0.0)
-            x = x + alpha * p
-            r = r - alpha * ap
-            rs_new = jnp.vdot(r, r)
-            beta = jnp.where(jnp.abs(rs) > 0, rs_new / rs, 0.0)
-            p = r + beta * p
-            return (x, r, p, rs_new)
+            x, r, p, v, rho = state
+            v = apply_k(p)
+            alpha = safe_div(rho, jnp.vdot(rhat, v))
+            s = r - alpha * v
+            t = apply_k(s)
+            omega = safe_div(jnp.vdot(t, s), jnp.vdot(t, t))
+            x = x + alpha * p + omega * s
+            r = s - omega * t
+            rho_new = jnp.vdot(rhat, r)
+            beta = safe_div(rho_new, rho) * safe_div(alpha, omega)
+            p = r + beta * (p - omega * v)
+            return (x, r, p, v, rho_new)
 
-        x, _, _, _ = lax.fori_loop(0, cg_iters, body, (x, r, p, rs))
+        x, _, _, _, _ = lax.fori_loop(0, cg_iters, body, (x, r, p, v, rho))
         return x
     K, maskv = _assemble_K_padded(L, Ac, Renv, maskv3)
     V = jnp.linalg.solve(K, rhs.reshape(M))
@@ -357,10 +393,10 @@ def als_sweeps(A_stack, b_stack, x_stack, masks, sweep_count: int = 2,
                solver: str = "lu", orth: str = "qr", cg_iters: int = 48):
     """Run ``sweep_count`` ALS half-sweeps (reference counting semantics:
     2 = forward + backward) as one compiled XLA program."""
-    if solver not in ("lu", "cg", "cg_fused", "bicgstab_fused"):
+    if solver not in ("lu", "cg", "bicgstab", "cg_fused", "bicgstab_fused"):
         raise ValueError(
-            "solver must be 'lu', 'cg', 'cg_fused' or 'bicgstab_fused', "
-            f"got {solver!r}")
+            "solver must be 'lu', 'cg', 'bicgstab', 'cg_fused' or "
+            f"'bicgstab_fused', got {solver!r}")
     if orth not in ("qr", "polar"):
         raise ValueError(f"orth must be 'qr' or 'polar', got {orth!r}")
     x = x_stack

@@ -216,10 +216,10 @@ def make_cn_step(A, h: float, rmax: int, dims, u_rks, dtype=jnp.float64,
     if round_method not in ("svd", "gram"):
         raise ValueError(
             f"round_method must be 'svd' or 'gram', got {round_method!r}")
-    if solver not in ("lu", "cg", "cg_fused", "bicgstab_fused"):
+    if solver not in ("lu", "cg", "bicgstab", "cg_fused", "bicgstab_fused"):
         raise ValueError(
-            "solver must be 'lu', 'cg', 'cg_fused' or 'bicgstab_fused', "
-            f"got {solver!r}")
+            "solver must be 'lu', 'cg', 'bicgstab', 'cg_fused' or "
+            f"'bicgstab_fused', got {solver!r}")
     if orth not in ("qr", "polar"):
         raise ValueError(f"orth must be 'qr' or 'polar', got {orth!r}")
     d = len(dims)
