@@ -51,8 +51,11 @@ print(f"mesh: {mesh.shape} ({n_dev} devices)")
 
 outs = batched_als_linsolve(mesh, A, bs, x0s, sweep_count=4)
 
+worst = 0.0
 for k, out in enumerate(outs):
     res = float(ttnx.norm(ttnx.sub(ttnx.matvec(A, out), bs[k]))
                 / ttnx.norm(bs[k]))
+    worst = max(worst, res)
     print(f"problem {k} (mode {k + 1}): residual {res:.2e} "
           f"ranks {out.ranks}")
+assert worst < 1e-6, worst

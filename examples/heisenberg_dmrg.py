@@ -29,6 +29,7 @@ print(f"DMRG ground-state energy: {E[-1]:.12f}  (max rank {max(psi.ranks)})")
 w = np.linalg.eigvalsh(np.asarray(ttnx.qtto_to_matrix(H)))
 print(f"dense diagonalization:    {w[0]:.12f}")
 print(f"energy error:             {abs(E[-1] - w[0]):.3e}")
+assert abs(E[-1] - w[0]) < 1e-8, "DMRG energy must match dense diagonalization"
 
 entropy = ttnx.entanglement_entropy(psi)
 print("entanglement entropy per bond:", np.round(entropy, 4))

