@@ -253,3 +253,18 @@ def test_cn_step_bicgstab_fused_complex_falls_back_matrix_free():
     expect = _dense_cn_reference(A, u0, h)
     rel = np.linalg.norm(out - expect) / np.linalg.norm(expect)
     assert rel < 1e-9, rel
+
+
+def test_matmul_chain_matches_reference_loop(rng):
+    from ttnx.kernels.contraction import matmul_chain
+
+    B, m, k = 4, 16, 8
+    x = jnp.asarray(0.1 * rng.standard_normal((B, m, k)), dtype=jnp.float32)
+    w = jnp.asarray(np.linalg.qr(rng.standard_normal((B, k, k)))[0],
+                    dtype=jnp.float32)
+    out = matmul_chain(x, w, iters=4, block_b=2, interpret=True, unroll=2)
+    acc = np.asarray(x)
+    wn = np.asarray(w)
+    for _ in range(4):
+        acc = np.einsum("bmk,bkn->bmn", acc, wn).astype(np.float32)
+    assert np.allclose(np.asarray(out), acc, atol=1e-4)

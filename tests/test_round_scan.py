@@ -202,3 +202,85 @@ def test_make_cn_evolve_matches_stepping():
         u_loop = step_fn(u_loop)
     u_fused = evolve_fn(pack2(u0))
     assert np.allclose(np.asarray(u_fused), np.asarray(u_loop), atol=1e-12)
+
+
+class TestGramChainRounding:
+    """round_method='gram_chain' — the fused Gram-chain pipeline
+    (backward pure-matmul Gram sweep in ONE Pallas kernel on TPU, single
+    eigh per bond; VERDICT r2 item 2)."""
+
+    def test_gram_chain_kernel_matches_xla(self):
+        from ttnx.kernels.gram import gram_chain_fused
+        from ttnx.solvers.round_scan import _gram_chain_xla
+
+        A, u, RA, dims, u_rks, masks_big = _setup()
+        big = matvec_padded(pack_op(A, RA).astype(jnp.float32),
+                            pack_tt(u, 4).astype(jnp.float32))
+        Gk = gram_chain_fused(big, interpret=True)
+        Gx = _gram_chain_xla(big)
+        assert np.allclose(np.asarray(Gk), np.asarray(Gx), atol=1e-5)
+
+    def test_gram_chain_matches_svd_rounding(self):
+        from ttnx.solvers.round_scan import tt_round_gram
+
+        A, u, RA, dims, u_rks, masks_big = _setup()
+        big = matvec_padded(pack_op(A, RA), pack_tt(u, 4))
+        big_rks = [min(a * b, RA * 4) for a, b in zip(A.ranks, u_rks)]
+        out_rks = round_masks(big_rks, 4, dims)
+        masks_out = rank_masks(out_rks, 4)
+        ys = tt_round_scan(big, masks_big, 4, masks_out, method="svd")
+        yg = tt_round_gram(big, 4, masks_out)
+        assert np.allclose(padded_to_vec(yg), padded_to_vec(ys), atol=1e-10)
+
+    def test_gram_chain_rank_deficient(self):
+        from ttnx.solvers.round_scan import tt_round_gram
+
+        d = 7
+        A = add_op(id_tto(d),
+                   scale_op(0.05, toeplitz_to_qtto(2.0, -1.0, -1.0, d)))
+        u = orthogonalize(qtt_sin(d), 0)
+        RA = max(A.ranks)
+        rmax = 6
+        dims = (2,) * d
+        u_rks = r_and_d_to_rks(u.ranks, dims, rmax=rmax)
+        big = matvec_padded(pack_op(A, RA), pack_tt(u, rmax))
+        big_rks = [min(a * b, RA * rmax) for a, b in zip(A.ranks, u_rks)]
+        out_rks = round_masks(big_rks, rmax, dims)
+        masks_out = rank_masks(out_rks, rmax)
+        yg = tt_round_gram(big, rmax, masks_out)
+        got = padded_to_vec(yg)
+        assert np.all(np.isfinite(got))
+        ref = vec(tt_round(matvec(A, u), max_bond=rmax))
+        assert np.allclose(got, ref, atol=1e-10)
+
+    def test_gram_chain_complex_xla_path(self):
+        from ttnx.solvers.round_scan import tt_round_gram
+
+        A, u, RA, dims, u_rks, masks_big = _setup()
+        big = matvec_padded(pack_op(A.astype(jnp.complex128), RA),
+                            pack_tt(u.astype(jnp.complex128), 4))
+        big = big * jnp.exp(0.3j)
+        big_rks = [min(a * b, RA * 4) for a, b in zip(A.ranks, u_rks)]
+        out_rks = round_masks(big_rks, 4, dims)
+        masks_out = rank_masks(out_rks, 4)
+        ys = tt_round_scan(big, masks_big, 4, masks_out, method="svd")
+        yg = tt_round_gram(big, 4, masks_out)
+        assert np.allclose(padded_to_vec(yg), padded_to_vec(ys), atol=1e-10)
+
+    def test_cn_step_gram_chain_machine_precision(self):
+        d, rmax = 8, 8
+        h_grid = 1.0 / (2 ** d + 1)
+        A = (-1.0 / h_grid ** 2) * toeplitz_to_qtto(2.0, -1.0, -1.0, d)
+        step_fn, pack, unpack = make_cn_step(
+            A, 1e-7, rmax=rmax, dims=(2,) * d,
+            u_rks=(1,) + (rmax,) * (d - 1) + (1,), sweep_count=3,
+            round_method="gram_chain")
+        u0 = qtt_sin(d, a=h_grid, b=1 - h_grid)
+        u = pack(u0)
+        for _ in range(5):
+            u = step_fn(u)
+        lam1 = (2 - 2 * np.cos(np.pi / (2 ** d + 1))) / h_grid ** 2
+        got = vec(unpack(u))
+        expect = vec(u0) * np.exp(-lam1 * 5e-7)
+        rel = np.linalg.norm(got - expect) / np.linalg.norm(expect)
+        assert rel < 1e-12

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["two_site_merge", "merge_resplit_chain"]
+__all__ = ["two_site_merge", "merge_resplit_chain", "matmul_chain"]
 
 
 def _merge_kernel(a_ref, b_ref, out_ref):
@@ -86,6 +86,57 @@ def _chain_kernel(a_ref, b_ref, w_ref, out_ref, *, iters: int, unroll: int):
         return acc
 
     out_ref[:] = jax.lax.fori_loop(0, iters // unroll, body, a_ref[:])
+
+
+def _matmul_chain_kernel(x_ref, w_ref, out_ref, *, iters: int, unroll: int):
+    # x: (Bt, m, k); w: (Bt, k, k) orthonormal -> x @ w^iters stays bounded
+    w_val = w_ref[:]
+
+    def step(acc):
+        return jax.lax.dot_general(
+            acc, w_val, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(x_ref.dtype)
+
+    def body(_, acc):
+        for _k in range(unroll):
+            acc = step(acc)
+        return acc
+
+    out_ref[:] = jax.lax.fori_loop(0, iters // unroll, body, x_ref[:])
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("iters", "block_b", "interpret",
+                                    "unroll"))
+def matmul_chain(x, w, iters: int = 8, block_b: int = 32,
+                 interpret: bool = False, unroll: int = 4):
+    """Dependent chain of plain batched matmuls ``x <- x @ w`` fused in VMEM —
+    the MEASURED shape-bound ceiling for the K=64 contraction benchmark: the
+    same (B, m, k)x(B, k, k) matmul the analytic peak/2 argument bounds, run
+    under identical VMEM-residency conditions as
+    :func:`merge_resplit_chain`. ``w`` should be orthonormal so the
+    normalization-free chain stays bounded."""
+    if iters % unroll != 0:
+        raise ValueError(f"unroll={unroll} must divide iters={iters}")
+    B, m, k = x.shape
+    grid = (pl.cdiv(B, block_b),)
+    kernel = functools.partial(_matmul_chain_kernel, iters=iters,
+                               unroll=unroll)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_b, m, k), lambda i: (i, i * 0, i * 0),
+                         memory_space=pl.ANY if interpret else pltpu.VMEM),
+            pl.BlockSpec((block_b, k, k), lambda i: (i, i * 0, i * 0),
+                         memory_space=pl.ANY if interpret else pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_b, m, k), lambda i: (i, i * 0, i * 0),
+                               memory_space=pl.ANY if interpret
+                               else pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, m, k), x.dtype),
+        interpret=interpret,
+    )(x, w)
 
 
 @functools.partial(jax.jit,
