@@ -10,3 +10,10 @@ from ttnx.cross.cross import (  # noqa: F401
     gauss_legendre,
 )
 from ttnx.cross.maxvol import maxvol  # noqa: F401
+from ttnx.cross.device import (  # noqa: F401
+    evaluate_tt_indices,
+    index_evaluator,
+    maxvol_cross_device,
+    maxvol_fixed,
+    tt_cross_device,
+)

@@ -46,21 +46,19 @@ def can_fuse_gram_chain(dtype, d: int, R: int) -> bool:
 
 def _gram_chain_kernel(y_ref, g0_ref, out_ref, *, d: int, n: int):
     """y: (d, n, R, R); g0: (R, R) boundary Gram; out: (d, R, R) with
-    ``out[k] = G_{k+1}`` (the Gram over sites k+1..d-1)."""
-    R = y_ref.shape[-1]
-    g0 = g0_ref[:]
-    # out[d-1] = G_d (boundary)
-    out_ref[d - 1] = g0
+    ``out[k] = G_{k+1}`` (the Gram over sites k+1..d-1).
 
-    def body(j, G):
-        # site index, d-1 down to 1. All index arithmetic pinned to i32:
-        # under x64 a bare Python int lowers to i64 while the loop index is
-        # i32, and Mosaic rejects the mixed-width arith.subi (measured on
-        # the remote toolchain, 2026-08-21)
-        k = jnp.asarray(d - 1, jnp.int32) - j
+    The site loop is UNROLLED in Python (d is static and small): a
+    ``fori_loop`` with dynamic site indices makes Mosaic's lowering of the
+    x64 i64<->i32 index converts recurse infinitely (measured on the remote
+    toolchain, 2026-08-21), and static indices also let Mosaic pipeline the
+    per-site matmul pairs freely."""
+    G = g0_ref[:]
+    out_ref[d - 1] = G  # G_d (boundary)
+    for k in range(d - 1, 0, -1):
         Gn = jnp.zeros_like(G)
         for i in range(n):
-            yk = y_ref[pl.dslice(k, 1), i].reshape(R, R)
+            yk = y_ref[k, i]
             t = jax.lax.dot_general(
                 yk, G, (((1,), (0,)), ((), ())),
                 preferred_element_type=G.dtype,
@@ -71,10 +69,8 @@ def _gram_chain_kernel(y_ref, g0_ref, out_ref, *, d: int, n: int):
                 t, yk, (((1,), (1,)), ((), ())),
                 preferred_element_type=G.dtype,
                 precision=jax.lax.Precision.HIGHEST)
-        out_ref[pl.dslice(k - jnp.asarray(1, jnp.int32), 1)] = Gn[None]
-        return Gn
-
-    jax.lax.fori_loop(0, d - 1, body, g0)
+        out_ref[k - 1] = Gn
+        G = Gn
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
