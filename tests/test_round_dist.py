@@ -94,7 +94,8 @@ class TestCNStepDist:
 
         with mesh:
             sfd, packd, unpackd = make_cn_step_dist(
-                A, 1e-7, rmax, (2,) * d, u_rks, mesh, sweep_count=3)
+                A, 1e-7, rmax, (2,) * d, u_rks, mesh, sweep_count=3,
+                force_tp=True)
             ud = packd(u0)
             for _ in range(3):
                 ud = sfd(ud)

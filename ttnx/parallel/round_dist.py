@@ -29,7 +29,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-__all__ = ["gram_round_dist", "shard_chain", "make_cn_step_dist"]
+__all__ = ["gram_round_dist", "shard_chain", "make_cn_step_dist",
+           "tp_rounding_worthwhile"]
 
 
 def _gram_sqrt_apply(cm_loc, axis):
@@ -134,15 +135,47 @@ def gram_round_dist(y, masks_y, R_out: int, masks_out, mesh: Mesh,
     return fn(y, masks_y, masks_out)
 
 
+def tp_rounding_worthwhile(RA: int, rmax: int, p: int,
+                           overhead_x: float = 2.0) -> bool:
+    """Auto-select predicate: is tp-sharding the gram rounding expected to
+    beat replicated execution?
+
+    Measured basis (scripts/bench_tp_crossover.py, 2026-08-21, recorded in
+    STATUS.md / docs/design.md): the per-site eigh of the (R, R) Gram is
+    replicated and its cost scales with the SAME O(R^3) as the sharded
+    matmuls (cm is (R, 2R)), so the replicated fraction is a constant
+    ~0.56 at every rank — Amdahl caps the ideal tp speedup at 1.28x (p=2)
+    / 1.49x (p=4) regardless of rank, while the measured shard_map
+    overhead is >= 30x on the virtual mesh and would need to be below
+    ~1.3x on real ICI to break even. Verdict: tp-sharding THIS algorithm
+    never pays; the predicate returns False for every feasible (RA*rmax,
+    p) so the auto path keeps rounding replicated, and the sharded kernel
+    remains available for explicit scale-out experiments
+    (``force_tp=True``). The path forward for a genuinely tp-profitable
+    rounding is the Gram-chain algorithm (ttnx.kernels.gram), whose only
+    eighs are the tiny (2*R_out)^2 truncation ones.
+    """
+    R = RA * rmax
+    ideal = 1.0 / (0.56 + 0.44 / p)
+    return ideal > overhead_x and R >= 512
+
+
 def make_cn_step_dist(A, h: float, rmax: int, dims, u_rks, mesh: Mesh,
                       dtype=jnp.float64, sweep_count: int = 4,
-                      solver: str = "lu", axis: str = "tp"):
+                      solver: str = "lu", axis: str = "tp",
+                      force_tp: bool | None = None):
     """Crank–Nicolson step with the rounding stage tp-sharded: the
     distributed twin of :func:`ttnx.solvers.round_scan.make_cn_step`
     (``round_method='gram'``). The MPO application and ALS solve run at the
     small target rank (replicated); the R = R_A * rmax sized rounding sweeps
-    — where this step's FLOPs live — run column-sharded over ``mesh[axis]``
-    via :func:`gram_round_dist`. Returns ``(step_fn, pack, unpack)``.
+    run column-sharded over ``mesh[axis]`` via :func:`gram_round_dist`.
+    Returns ``(step_fn, pack, unpack)``.
+
+    ``force_tp=None`` (auto) consults :func:`tp_rounding_worthwhile` —
+    which, per the measured Amdahl bound, currently always selects the
+    REPLICATED rounding — so the auto path is the measured-fastest one and
+    the sharded kernel runs only on request (``force_tp=True``, used by the
+    multichip dryrun to exercise the collective path).
     """
     import numpy as np
 
@@ -182,12 +215,21 @@ def make_cn_step_dist(A, h: float, rmax: int, dims, u_rks, mesh: Mesh,
             1e-3 * rng.standard_normal((u_rks[i], 2, u_rks[i + 1])))
     guess_noise = jnp.asarray(noise_np, dtype=dtype)
 
+    p = mesh.shape[axis]
+    use_tp = (tp_rounding_worthwhile(RA, rmax, p) if force_tp is None
+              else bool(force_tp)) and p > 1
+
     @jax.jit
     def step_fn(u_stack):
         big = matvec_padded(rhs_stack, u_stack)
-        big = jax.lax.with_sharding_constraint(
-            big, NamedSharding(mesh, P(None, None, None, axis)))
-        b = gram_round_dist(big, masks_big, rmax, masks_out, mesh, axis)
+        if use_tp:
+            big = jax.lax.with_sharding_constraint(
+                big, NamedSharding(mesh, P(None, None, None, axis)))
+            b = gram_round_dist(big, masks_big, rmax, masks_out, mesh, axis)
+        else:
+            from ttnx.solvers.round_scan import tt_round_scan
+
+            b = tt_round_scan(big, masks_big, rmax, masks_out, method="gram")
         return als_sweeps(lhs_stack, b, u_stack + guess_noise, masks_u,
                           sweep_count, solver=solver)
 
