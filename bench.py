@@ -7,9 +7,10 @@ Prints ONE JSON line:
 Primary metric (BASELINE.json): rank-64 core-contraction GFLOP/s per chip,
 measured on the batched two-site TT contraction (the MPO*MPS/ALS hot kernel
 shape) in bfloat16 with f32 accumulation. ``vs_baseline`` is the fraction of
-the 70%-of-roofline target, where the roofline is the MEASURED same-shape
-K=64 Pallas matmul-chain ceiling (bench_pallas_k64_ceiling — the best any
-kernel of this shape class can do on this chip), i.e. 1.0 == target.
+the 70%-of-roofline target, where the roofline is HALF the MEASURED
+full-MXU Pallas matmul chain (bench_pallas_matmul_ceiling, same harness and
+batch as the headline kernel) — the K=64 occupancy factor applied to a
+measured ceiling instead of the nominal 197 TF/s constant. 1.0 == target.
 Continuity extras report the analytic peak/2 bound and the full-hw-peak
 denominators too.
 """
@@ -130,23 +131,26 @@ def bench_pallas_chain():
     return flops / dt_total / 1e9
 
 
-def bench_pallas_k64_ceiling():
-    """MEASURED ceiling for the headline number: the same K=64 batched bf16
-    matmul the analytic peak/2 shape bound applies to, run as a dependent
-    VMEM-resident Pallas chain under identical conditions as the headline
-    kernel (same batch, block, unroll, chain length — the only difference is
-    ONE matmul per iteration instead of a merge + re-split pair). This is
-    the honest denominator VERDICT r2 asked for: no K=64 kernel of this
-    shape class can beat it on this chip, and it is measured, not a
-    constant."""
+def bench_pallas_matmul_ceiling():
+    """MEASURED full-MXU ceiling under the headline kernel's exact
+    conditions: a dependent chain of batched 128x128x128 bf16 matmuls in the
+    same VMEM-resident Pallas harness (same batch, block, unroll, chain
+    length). This replaces the nominal 197 TF/s constant with a measured
+    number; the K=64 shape factor (a K=64 operand occupies half the
+    128-wide systolic array, so the best any K=64-class contraction can do
+    is HALF this chain) is then the only analytic step left in the
+    vs_baseline denominator — exactly the validation VERDICT r2 asked for.
+    (A naive 'same-shape' K=64 N=64 chain measures LOWER than the headline
+    kernel because the production merge+re-split alternates K=64 with K=128
+    matmuls — reported as an extra for context, not used.)"""
     from ttnx.kernels.contraction import matmul_chain
 
-    batch, m, k, iters = 4096, 128, 64, 2048
+    batch, m, k, iters = 4096, 128, 128, 1024
     rng = np.random.default_rng(2)
     x = jnp.asarray(rng.standard_normal((batch, m, k)) * 0.1, jnp.bfloat16)
     w = jnp.asarray(np.linalg.qr(rng.standard_normal((batch, k, k)))[0],
                     jnp.bfloat16)
-    fn = lambda x, w: matmul_chain(x, w, iters=iters, block_b=32, unroll=4)
+    fn = lambda x, w: matmul_chain(x, w, iters=iters, block_b=16, unroll=4)
     dt = _time_fn(fn, x, w, warmup=1, iters=2)
     return 2.0 * batch * m * k * k * iters / dt / 1e9
 
@@ -308,21 +312,29 @@ def main():
     extras = {}
     gflops = 0.0
 
+    def timed(name, fn):
+        t0 = time.time()
+        try:
+            return fn()
+        finally:
+            extras[f"t_{name}_s"] = round(time.time() - t0, 1)
+
     # 1. headline: the fused Pallas merge+re-split chain — the production
     #    contraction/rounding kernel shape (~81 vs ~28 TFLOP/s XLA on v5e)
     if os.environ.get("BENCH_PALLAS") != "0":
         try:
-            pallas_gflops = bench_pallas_chain()
+            pallas_gflops = timed("pallas", bench_pallas_chain)
             extras["pallas_chain_gflops"] = round(pallas_gflops, 1)
             gflops = max(gflops, pallas_gflops)
         except Exception as e:
             extras["pallas_error"] = str(e)[:200]
 
-    # 2. MEASURED same-shape ceiling -> the vs_baseline denominator
-    ceiling = None
+    # 2. MEASURED full-MXU chain -> the vs_baseline denominator (x the K=64
+    #    occupancy factor 1/2)
+    ceiling_full = None
     try:
-        ceiling = bench_pallas_k64_ceiling()
-        extras["pallas_k64_ceiling_gflops"] = round(ceiling, 1)
+        ceiling_full = timed("ceiling", bench_pallas_matmul_ceiling)
+        extras["pallas_matmul128_ceiling_gflops"] = round(ceiling_full, 1)
     except Exception as e:
         extras["ceiling_error"] = str(e)[:200]
 
@@ -332,7 +344,8 @@ def main():
             if over_budget(60):
                 extras["cn_step_skipped_budget"] = True
             else:
-                extras["cn_step_d12_ms"] = round(bench_cn_step_d12(), 3)
+                extras["cn_step_d12_ms"] = round(
+                    timed("cn_step", bench_cn_step_d12), 3)
         except Exception as e:
             extras["cn_step_error"] = str(e)[:200]
 
@@ -340,21 +353,24 @@ def main():
     #    solves/s target); batch 64 doubles as the batched_solves number
     if os.environ.get("BENCH_SCALING") != "0":
         try:
-            if over_budget(120):
+            if over_budget(60):
                 extras["batch_scaling_skipped_budget"] = True
             else:
-                sc = bench_batch_scaling()
+                sc = timed("batch_scaling", bench_batch_scaling)
                 extras["batch_scaling"] = sc
                 extras["batched_solves_per_s"] = sc.get(
                     "batch64_solves_per_s")
         except Exception as e:
             extras["batch_scaling_error"] = str(e)[:200]
 
-    # 5. context: XLA fori_loop chain of the headline shape (also the
-    #    headline fallback if the Pallas section failed)
-    if gflops == 0.0 or not over_budget(60):
+    # --- context extras below this line: first casualties of the budget ---
+
+    # 5. XLA fori_loop chain of the headline shape (also the headline
+    #    fallback if the Pallas section failed)
+    if gflops == 0.0 or not over_budget(150):
         try:
-            g_xla, dt_contract = bench_rank64_contraction()
+            g_xla, dt_contract = timed("xla_chain",
+                                       bench_rank64_contraction)
             extras["contract_us"] = round(dt_contract * 1e6, 2)
             extras["xla_chain_gflops"] = round(g_xla, 1)
             gflops = max(gflops, g_xla)
@@ -363,13 +379,13 @@ def main():
     else:
         extras["xla_chain_skipped_budget"] = True
 
-    # 6. context: HBM-bound XLA K=64 chain + square-matmul device peak
+    # 6. HBM-bound XLA K=64 chain + square-matmul device peak
     if os.environ.get("BENCH_ROOFLINE") != "0":
         try:
-            if over_budget(60):
+            if over_budget(150):
                 extras["roofline_skipped_budget"] = True
             else:
-                k64, peak = bench_matmul_roofline()
+                k64, peak = timed("roofline", bench_matmul_roofline)
                 extras["xla_k64_chain_gflops"] = round(k64, 1)  # HBM-bound
                 extras["square_matmul_chain_gflops"] = round(peak, 1)
         except Exception as e:
@@ -380,8 +396,11 @@ def main():
     #    chip-scaling measurement, hence the diagnostics key)
     if os.environ.get("BENCH_DP") != "0":
         try:
-            extras["dp_diag_cpu_mesh_host_bound"] = (
-                bench_dp_scaling_subprocess())
+            if over_budget(120):
+                extras["dp_diag_skipped_budget"] = True
+            else:
+                extras["dp_diag_cpu_mesh_host_bound"] = timed(
+                    "dp_diag", bench_dp_scaling_subprocess)
         except Exception as e:
             extras["dp_scaling_error"] = str(e)[:200]
 
@@ -391,15 +410,18 @@ def main():
         except Exception as e:
             extras["als_sweep_error"] = str(e)[:200]
 
-    # vs_baseline: 70% of the MEASURED same-shape Pallas matmul-chain
-    # ceiling (section 2). Falls back to the analytic K=64 bound (peak/2 for
-    # the 128x128 MXU) only if the measurement failed. Continuity extras
-    # report the round-1 full-hw-peak denominator as well (ADVICE r2).
-    denom_ceiling = ceiling if ceiling else K64_MATMUL_ROOFLINE_GFLOPS
-    extras["ceiling_is_measured"] = ceiling is not None
+    # vs_baseline: 70% of (measured full-MXU batched chain) / 2 — the K=64
+    # shape-occupancy factor applied to a MEASURED ceiling instead of the
+    # nominal 197 TF/s constant. Falls back to the analytic peak/2 only if
+    # the ceiling measurement failed. Continuity extras report the round-1
+    # full-hw-peak denominator as well (ADVICE r2).
+    k64_ceiling = (ceiling_full / 2.0 if ceiling_full
+                   else K64_MATMUL_ROOFLINE_GFLOPS)
+    extras["ceiling_is_measured"] = ceiling_full is not None
+    extras["k64_ceiling_gflops"] = round(k64_ceiling, 1)
     extras["analytic_k64_ceiling_gflops"] = K64_MATMUL_ROOFLINE_GFLOPS
     extras["frac_of_hw_peak"] = round(gflops / V5E_BF16_PEAK_GFLOPS, 4)
-    extras["frac_of_measured_ceiling"] = round(gflops / denom_ceiling, 4)
+    extras["frac_of_k64_ceiling"] = round(gflops / k64_ceiling, 4)
     extras["vs_full_hw_peak_target"] = round(
         gflops / (TARGET_FRACTION * V5E_BF16_PEAK_GFLOPS), 4)
     extras["bench_wall_s"] = round(time.time() - t_start, 1)
@@ -408,7 +430,7 @@ def main():
         "metric": "rank64_core_contraction_gflops_per_chip",
         "value": round(gflops, 1),
         "unit": "GFLOP/s",
-        "vs_baseline": round(gflops / (TARGET_FRACTION * denom_ceiling), 4),
+        "vs_baseline": round(gflops / (TARGET_FRACTION * k64_ceiling), 4),
         **extras,
     }
     print(json.dumps(result))
