@@ -24,14 +24,11 @@ import jax
 import jax.numpy as jnp
 
 V5E_BF16_PEAK_GFLOPS = 197_000.0  # ~197 TFLOP/s bf16 per v5e chip
-# Shape-bound matmul roofline for the rank-64 contraction: the v5e MXU is a
-# 128x128 systolic array, so a K=64 matmul can occupy at most half of it —
-# the best ANY matmul of this shape can sustain is peak/2. BASELINE.md's
-# "70% of matmul roofline" is therefore measured against this ceiling, not
-# the square-matmul peak (analysis in docs/design.md "Performance model";
-# the measured square chain itself only reaches ~158 TFLOP/s = 80% of
-# nominal, and the same-shape XLA matmul chain is HBM-bound at ~14 TFLOP/s —
-# both reported as extras).
+# Analytic fallback for the K=64 shape bound: the v5e MXU is a 128x128
+# systolic array, so a K=64 matmul can occupy at most half of it. The
+# PRIMARY denominator is measured (bench_pallas_matmul_ceiling / 2); this
+# constant is only used if that measurement fails, and is reported as
+# `analytic_k64_ceiling_gflops` for continuity with rounds 1-2.
 K64_MATMUL_ROOFLINE_GFLOPS = V5E_BF16_PEAK_GFLOPS / 2.0
 TARGET_FRACTION = 0.70
 
@@ -142,7 +139,13 @@ def bench_pallas_matmul_ceiling():
     vs_baseline denominator — exactly the validation VERDICT r2 asked for.
     (A naive 'same-shape' K=64 N=64 chain measures LOWER than the headline
     kernel because the production merge+re-split alternates K=64 with K=128
-    matmuls — reported as an extra for context, not used.)"""
+    matmuls — reported as an extra for context, not used.)
+
+    Returns ``(ceiling, extras)`` where ``ceiling`` is the max of the
+    batched Pallas chain and a plain XLA square-matmul chain (measured
+    125.8 vs ~160 TF/s on v5e 2026-08-21 — XLA's own scheduling of the
+    full-occupancy shape is the better sustained number, so the max is the
+    honest device ceiling)."""
     from ttnx.kernels.contraction import matmul_chain
 
     batch, m, k, iters = 4096, 128, 128, 1024
@@ -150,23 +153,36 @@ def bench_pallas_matmul_ceiling():
     x = jnp.asarray(rng.standard_normal((batch, m, k)) * 0.1, jnp.bfloat16)
     w = jnp.asarray(np.linalg.qr(rng.standard_normal((batch, k, k)))[0],
                     jnp.bfloat16)
-    fn = lambda x, w: matmul_chain(x, w, iters=iters, block_b=16, unroll=4)
+    fn = lambda x, w: matmul_chain(x, w, iters=iters, block_b=32, unroll=4)
     dt = _time_fn(fn, x, w, warmup=1, iters=2)
-    return 2.0 * batch * m * k * k * iters / dt / 1e9
+    pallas128 = 2.0 * batch * m * k * k * iters / dt / 1e9
+
+    n_sq = 4096
+    xs = jnp.asarray(rng.standard_normal((n_sq, n_sq)) * 0.02, jnp.bfloat16)
+    ws = jnp.asarray(np.linalg.qr(rng.standard_normal((n_sq, n_sq)))[0],
+                     jnp.bfloat16)
+
+    @jax.jit
+    def chain_sq(x, w):
+        def body(_, acc):
+            return (acc @ w).astype(jnp.bfloat16)
+        return jax.lax.fori_loop(0, 256, body, x)
+
+    dt_sq = _time_fn(chain_sq, xs, ws, warmup=1, iters=2)
+    xla_sq = 2.0 * n_sq ** 3 * 256 / dt_sq / 1e9
+    return max(pallas128, xla_sq), {
+        "pallas_matmul128_chain_gflops": round(pallas128, 1),
+        "xla_square_chain_gflops": round(xla_sq, 1),
+    }
 
 
 def bench_matmul_roofline():
-    """Measured same-shape matmul chains, reported as context extras.
-
-    (a) a K=64 batched bf16 matmul chain through plain XLA — HBM-bound at
-    ~14 TFLOP/s (each iteration round-trips the 4096x128x64 operand),
-    which is exactly why the production path is the VMEM-resident Pallas
-    kernel; (b) a 4096^2 square-matmul chain — ~158 TFLOP/s, i.e. even an
-    MXU-saturating dependent chain reaches ~80% of the nominal 197 TFLOP/s.
-    The vs_baseline denominator itself is the analytic K=64 ceiling
-    (K64_MATMUL_ROOFLINE_GFLOPS), not these measurements."""
+    """Context extra: the K=64 batched bf16 matmul chain through plain XLA —
+    HBM-bound at ~14 TFLOP/s (each iteration round-trips the 4096x128x64
+    operand), which is exactly why the production path is the VMEM-resident
+    Pallas kernel. (The full-occupancy square chain lives in
+    bench_pallas_matmul_ceiling now.)"""
     rng = np.random.default_rng(1)
-    # K=64 shape-bound roofline: x <- x @ W, x (B, 128, 64), W (B, 64, 64)
     batch, m, k = 4096, 128, 64
     iters = 2048
     x = jnp.asarray(rng.standard_normal((batch, m, k)) * 0.1, jnp.bfloat16)
@@ -182,23 +198,7 @@ def bench_matmul_roofline():
         return jax.lax.fori_loop(0, iters, body, x)
 
     dt = _time_fn(chain_k64, x, w, warmup=1, iters=2)
-    k64_gflops = 2.0 * batch * m * k * k * iters / dt / 1e9
-
-    # square-matmul device peak (K=512 saturates the MXU)
-    n_sq = 4096
-    xs = jnp.asarray(rng.standard_normal((n_sq, n_sq)) * 0.02, jnp.bfloat16)
-    ws = jnp.asarray(np.linalg.qr(rng.standard_normal((n_sq, n_sq)))[0],
-                     jnp.bfloat16)
-
-    @jax.jit
-    def chain_sq(x, w):
-        def body(_, acc):
-            return (acc @ w).astype(jnp.bfloat16)
-        return jax.lax.fori_loop(0, 256, body, x)
-
-    dt_sq = _time_fn(chain_sq, xs, ws, warmup=1, iters=2)
-    peak_gflops = 2.0 * n_sq ** 3 * 256 / dt_sq / 1e9
-    return k64_gflops, peak_gflops
+    return 2.0 * batch * m * k * k * iters / dt / 1e9
 
 
 def bench_batched_solves():
@@ -219,7 +219,7 @@ def bench_batched_solves():
 
 def bench_batch_scaling():
     """Batch-size throughput scaling of the batched scan-ALS on the one real
-    chip: solves/s at batch 16/64/256. Perfectly batched independent solves
+    chip: solves/s at batch 64/256. Perfectly batched independent solves
     are the dp-parallel workload collapsed onto one device, so flat
     solves-per-s-per-problem here plus the virtual-mesh dp measurement
     (scripts/bench_scaling.py) are the two measurable halves of BASELINE's
@@ -230,7 +230,7 @@ def bench_batch_scaling():
     A_stack, b_stack, x_stack, masks = __graft_entry__._heat_problem(
         d=10, rmax=8, dtype=jnp.float32)
     out = {}
-    for batch in (16, 64, 256):
+    for batch in (64, 256):
         b_batch = jnp.broadcast_to(b_stack, (batch,) + b_stack.shape)
         x_batch = jnp.broadcast_to(x_stack, (batch,) + x_stack.shape)
         fn = jax.jit(
@@ -329,19 +329,13 @@ def main():
         except Exception as e:
             extras["pallas_error"] = str(e)[:200]
 
-    # 2. MEASURED full-MXU chain -> the vs_baseline denominator (x the K=64
-    #    occupancy factor 1/2)
-    ceiling_full = None
-    try:
-        ceiling_full = timed("ceiling", bench_pallas_matmul_ceiling)
-        extras["pallas_matmul128_ceiling_gflops"] = round(ceiling_full, 1)
-    except Exception as e:
-        extras["ceiling_error"] = str(e)[:200]
-
-    # 3. flagship end-to-end: d=12 CN step (BASELINE config 2)
+    # 2. flagship end-to-end: d=12 CN step (BASELINE config 2). MUST-RUN:
+    #    after a cold compile service the headline section alone can eat
+    #    ~13 min (t_pallas_s 776.9 measured 2026-08-21), and this number
+    #    outranks everything below it — only a hard budget overrun skips it.
     if os.environ.get("BENCH_HEAT") != "0":
         try:
-            if over_budget(60):
+            if over_budget(0):
                 extras["cn_step_skipped_budget"] = True
             else:
                 extras["cn_step_d12_ms"] = round(
@@ -349,11 +343,21 @@ def main():
         except Exception as e:
             extras["cn_step_error"] = str(e)[:200]
 
+    # 3. MEASURED full-MXU chain -> the vs_baseline denominator (x the K=64
+    #    occupancy factor 1/2). Must-run (it defines the primary metric).
+    ceiling_full = None
+    try:
+        ceiling_full, ceil_extras = timed("ceiling",
+                                          bench_pallas_matmul_ceiling)
+        extras.update(ceil_extras)
+    except Exception as e:
+        extras["ceiling_error"] = str(e)[:200]
+
     # 4. batch-size throughput scaling (single-chip proxy for the multi-host
     #    solves/s target); batch 64 doubles as the batched_solves number
     if os.environ.get("BENCH_SCALING") != "0":
         try:
-            if over_budget(60):
+            if over_budget(0):
                 extras["batch_scaling_skipped_budget"] = True
             else:
                 sc = timed("batch_scaling", bench_batch_scaling)
@@ -379,15 +383,14 @@ def main():
     else:
         extras["xla_chain_skipped_budget"] = True
 
-    # 6. HBM-bound XLA K=64 chain + square-matmul device peak
+    # 6. HBM-bound XLA K=64 chain (context)
     if os.environ.get("BENCH_ROOFLINE") != "0":
         try:
             if over_budget(150):
                 extras["roofline_skipped_budget"] = True
             else:
-                k64, peak = timed("roofline", bench_matmul_roofline)
+                k64 = timed("roofline", bench_matmul_roofline)
                 extras["xla_k64_chain_gflops"] = round(k64, 1)  # HBM-bound
-                extras["square_matmul_chain_gflops"] = round(peak, 1)
         except Exception as e:
             extras["roofline_error"] = str(e)[:200]
 
