@@ -66,6 +66,28 @@ def flop_balance(d, RA, rmax, p):
     }
 
 
+def flop_balance_gram_chain(d, RA, rmax, p):
+    """Same accounting for the GRAM-CHAIN rounding
+    (ttnx.parallel.round_dist.gram_chain_round_dist): the backward Gram
+    sweep and the truncation half-products are pure sharded matmuls; the
+    only replicated factorization is the (R_out*n)^2 eigh per site."""
+    R = RA * rmax
+    n = 2
+    mm_gram = 2 * 2 * R * R * n * R          # t = Y G (per i) + G update
+    k = rmax
+    mm_tr = (2 * k * R * n * R               # c = T2 y
+             + 2 * (k * n) * R * R           # cm G
+             + 2 * (k * n) ** 2 * R          # B
+             + 2 * k * (k * n) * R)          # t2 = u^H cm
+    eig = EIGH_FLOP_EQUIV * (k * n) ** 3
+    mm = d * (mm_gram + mm_tr)
+    eig_t = d * eig
+    total = mm + eig_t
+    per_dev = mm / p + eig_t
+    return {"replicated_frac": eig_t / total,
+            f"ideal_speedup_tp{p}": total / per_dev}
+
+
 def main():
     from ttnx.parallel.batch import make_mesh
     from ttnx.parallel.round_dist import make_cn_step_dist
@@ -88,6 +110,15 @@ def main():
                 b[f"ideal_speedup_tp{p}"], 3)
             out[f"replicated_frac_rmax{rmax}"] = round(
                 b["replicated_frac"], 3)
+    print("== analytic balance, GRAM-CHAIN rounding (Amdahl-free) ==")
+    for rmax in (8, 16, 32, 64):
+        for p in (2, 4):
+            b = flop_balance_gram_chain(12, 4, rmax, p)
+            print(f" rmax={rmax:3d} tp={p}: replicated frac "
+                  f"{b['replicated_frac']:.3f}, ideal speedup "
+                  f"{b[f'ideal_speedup_tp{p}']:.2f}x")
+            out[f"gc_ideal_speedup_rmax{rmax}_tp{p}"] = round(
+                b[f"ideal_speedup_tp{p}"], 3)
 
     print("== measured wall-clock (virtual mesh: OVERHEAD only) ==")
     d = 8
@@ -115,7 +146,8 @@ def main():
             mesh = make_mesh(dp=n_dev // p, tp=p)
             with mesh:
                 sfd, packd, _ = make_cn_step_dist(
-                    A, 1e-7, rmax, (2,) * d, u_rks, mesh, sweep_count=2)
+                    A, 1e-7, rmax, (2,) * d, u_rks, mesh, sweep_count=2,
+                    force_tp=True)
                 ud = packd(ttnx.qtt_sin(d, a=hg, b=1 - hg))
                 t_tp = time_fn(sfd, ud)
             row[f"tp{p}_ms"] = round(t_tp * 1e3, 1)

@@ -108,3 +108,81 @@ class TestCNStepDist:
         vd = np.asarray(ttv_to_tensor(unpackd(ud))).reshape(-1)
         v = np.asarray(ttv_to_tensor(unpack(u))).reshape(-1)
         assert np.linalg.norm(vd - v) / np.linalg.norm(v) < 1e-12
+
+
+class TestGramChainDist:
+    """Distributed Gram-chain rounding (the Amdahl-free tp formulation):
+    parity with the single-device tt_round_gram on the virtual mesh."""
+
+    def _chain(self, d=6, rmax=4):
+        from ttnx import id_tto, qtt_sin, toeplitz_to_qtto
+        from ttnx.core.algebra import add_op, scale_op
+        from ttnx.core.canonical import orthogonalize
+        from ttnx.core.tt import r_and_d_to_rks
+        from ttnx.solvers.round_scan import matvec_padded, round_masks
+        from ttnx.solvers.als_scan import pack_op, pack_tt, rank_masks
+
+        A = add_op(id_tto(d),
+                   scale_op(0.1, toeplitz_to_qtto(-2.0, 1.0, 1.0, d)))
+        u = orthogonalize(qtt_sin(d), 0)
+        RA = max(A.ranks)
+        dims = (2,) * d
+        u_rks = r_and_d_to_rks((1,) + (rmax,) * (d - 1) + (1,), dims,
+                               rmax=rmax)
+        big = matvec_padded(pack_op(A, RA), pack_tt(u, rmax))
+        out_rks = round_masks(
+            [min(a * b, RA * rmax) for a, b in zip(A.ranks, u_rks)],
+            rmax, dims)
+        masks_out = rank_masks(out_rks, rmax)
+        return big, rmax, masks_out
+
+    @pytest.mark.parametrize("tp", [2, 4])
+    def test_matches_single_device(self, tp):
+        from ttnx.parallel.batch import make_mesh
+        from ttnx.parallel.round_dist import gram_chain_round_dist
+        from ttnx.solvers.round_scan import tt_round_gram
+
+        big, rmax, masks_out = self._chain()
+        ref = tt_round_gram(big, rmax, masks_out)
+        mesh = make_mesh(dp=8 // tp, tp=tp)
+        with mesh:
+            got = gram_chain_round_dist(big, rmax, masks_out, mesh)
+        # gauge-free comparison: both are left-canonical with identical
+        # eigh-based gauges, so the stacks should agree directly
+        assert np.allclose(np.asarray(got), np.asarray(ref), atol=1e-10)
+
+    def test_indivisible_rank_raises(self):
+        from ttnx.parallel.batch import make_mesh
+        from ttnx.parallel.round_dist import gram_chain_round_dist
+
+        big, rmax, masks_out = self._chain(d=5, rmax=3)  # R = 4*3 = 12
+        mesh = make_mesh(dp=1, tp=8)  # 12 % 8 != 0
+        with pytest.raises(ValueError):
+            with mesh:
+                gram_chain_round_dist(big, rmax, masks_out, mesh)
+
+
+def test_cn_step_dist_gram_chain_matches_single_device():
+    """make_cn_step_dist(round_method='gram_chain', force_tp=True) matches
+    the single-device gram_chain CN step stack-for-stack (same gauges)."""
+    import ttnx
+    from ttnx.parallel.batch import make_mesh
+    from ttnx.parallel.round_dist import make_cn_step_dist
+    from ttnx.solvers.round_scan import make_cn_step
+
+    d, rmax = 6, 2
+    hg = 1.0 / (2 ** d + 1)
+    A = (-1.0 / hg ** 2) * ttnx.toeplitz_to_qtto(2.0, -1.0, -1.0, d)
+    u_rks = (1,) + (rmax,) * (d - 1) + (1,)
+    u0 = ttnx.qtt_sin(d, a=hg, b=1 - hg)
+    mesh = make_mesh(dp=4, tp=2)
+    with mesh:
+        sfd, packd, _ = make_cn_step_dist(
+            A, 1e-7, rmax, (2,) * d, u_rks, mesh, sweep_count=2,
+            force_tp=True, round_method="gram_chain")
+        ud = sfd(packd(u0))
+    sf, pack, _ = make_cn_step(
+        A, 1e-7, rmax=rmax, dims=(2,) * d, u_rks=u_rks, sweep_count=2,
+        round_method="gram_chain")
+    us = sf(pack(u0))
+    assert float(jnp.max(jnp.abs(ud - us))) < 1e-8

@@ -29,8 +29,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-__all__ = ["gram_round_dist", "shard_chain", "make_cn_step_dist",
-           "tp_rounding_worthwhile"]
+__all__ = ["gram_round_dist", "gram_chain_round_dist", "shard_chain",
+           "make_cn_step_dist", "tp_rounding_worthwhile"]
 
 
 def _gram_sqrt_apply(cm_loc, axis):
@@ -108,6 +108,91 @@ def _round_kernel(y_loc, masks_y, masks_out, *, R_out: int, axis: str):
     return jnp.stack(out)
 
 
+def _gram_chain_kernel_dist(y_loc, masks_out, *, R_out: int, axis: str):
+    """shard_map body for the distributed GRAM-CHAIN rounding: ``y_loc
+    (d, R, n, R/p)`` is this device's column block of every site.
+
+    Unlike the orthogonalize-first form (:func:`_round_kernel`), every
+    factorization here is a tiny ``(R_out*n)^2`` eigh — the O(R^3) work is
+    all matmuls sharded 1/p, so there is no Amdahl wall (the measured
+    0.56 replicated fraction of the gram form; docs/design.md).
+
+    Collectives per site: backward Gram sweep — one ``psum_scatter``
+    (re-shard the Y_i G partial products onto this device's column block)
+    + one ``psum`` of the (R, R) Gram; forward truncation sweep — one
+    ``psum`` of the (R_out*n, R) half-product, one tiny ``psum`` of B, one
+    ``all_gather`` of the (R_out, R) transfer. All ride ICI.
+    """
+    d, R, n, R_loc = y_loc.shape
+    idx = jax.lax.axis_index(axis)
+    dt = y_loc.dtype
+
+    # ---- backward Gram sweep: Gs[k] = G_{k+1}, pure matmuls ------------
+    G = jnp.zeros((R, R), dtype=dt).at[0, 0].set(1.0)
+    Gs = [None] * d
+    Gs[d - 1] = G
+    for k in range(d - 1, 0, -1):
+        G_rows = jax.lax.dynamic_slice_in_dim(G, idx * R_loc, R_loc, axis=0)
+        # partial over this device's b block: t_i = Y_i @ G, then re-shard
+        # the b' columns so the second contraction is local
+        t_part = jnp.einsum("anb,bc->anc", y_loc[k], G_rows)   # (R, n, R)
+        t_loc = jax.lax.psum_scatter(t_part, axis, scatter_dimension=2,
+                                     tiled=True)               # (R, n, R/p)
+        G_part = jnp.einsum("anc,bnc->ab", t_loc, jnp.conj(y_loc[k]))
+        G = jax.lax.psum(G_part, axis)                          # (R, R)
+        Gs[k - 1] = G
+
+    # ---- forward truncation sweep: tiny eighs, sharded matmuls ---------
+    out = [None] * d
+    T2 = jnp.zeros((R_out, R), dtype=dt).at[0, 0].set(1.0)
+    for k in range(d - 1):
+        Gk = Gs[k]
+        c_loc = jnp.einsum("ob,bnc->onc", T2, y_loc[k])         # local: full
+        # left axis is replicated in T2; columns stay sharded
+        cm_loc = c_loc.reshape(R_out * n, R_loc)
+        G_rows = jax.lax.dynamic_slice_in_dim(Gk, idx * R_loc, R_loc, axis=0)
+        t_half = jax.lax.psum(cm_loc @ G_rows, axis)            # (R_out*n, R)
+        t_cols = jax.lax.dynamic_slice_in_dim(t_half, idx * R_loc, R_loc,
+                                              axis=1)
+        B = jax.lax.psum(t_cols @ jnp.conj(cm_loc).T, axis)     # tiny
+        B = 0.5 * (B + jnp.conj(B).T)
+        m_r = masks_out[k + 1]
+        w, V = jnp.linalg.eigh(B)
+        u_k = V[:, ::-1][:, :R_out] * m_r[None, :R_out].astype(V.dtype)
+        out[k] = u_k.reshape(R_out, n, R_out)
+        t2_loc = jnp.conj(u_k).T @ cm_loc                       # (R_out, R/p)
+        T2 = jax.lax.all_gather(t2_loc, axis, axis=1, tiled=True)
+        T2 = T2 * m_r[:R_out, None].astype(T2.dtype)
+    # last site: absorb the transfer; global boundary column 0 lives in
+    # device 0's block
+    c_loc = jnp.einsum("ob,bnc->onc", T2, y_loc[d - 1])
+    last_col = c_loc[:, :, 0:1] * (idx == 0).astype(dt)
+    last_col = jax.lax.psum(last_col, axis)
+    out[d - 1] = jnp.pad(last_col, ((0, 0), (0, 0), (0, R_out - 1)))
+    return jnp.stack(out)
+
+
+def gram_chain_round_dist(y, R_out: int, masks_out, mesh: Mesh,
+                          axis: str = "tp"):
+    """Distributed :func:`ttnx.solvers.round_scan.tt_round_gram`: the
+    Gram-chain rounding with every O(R^3) matmul column-sharded over
+    ``mesh[axis]`` and only tiny ``(R_out*n)^2`` eighs replicated — the
+    tp formulation WITHOUT the Amdahl wall of :func:`gram_round_dist`
+    (design.md "tp-sharded rounding"). ``R`` must divide by the axis size;
+    returns the rounded ``(d, R_out, n, R_out)`` chain replicated."""
+    d, R, n, _ = y.shape
+    p = mesh.shape[axis]
+    if R % p != 0:
+        raise ValueError(f"padded rank {R} not divisible by {axis}={p}")
+    kernel = partial(_gram_chain_kernel_dist, R_out=R_out, axis=axis)
+    fn = shard_map(
+        kernel, mesh=mesh,
+        in_specs=(P(None, None, None, axis), P()),
+        out_specs=P(),
+        check_vma=False)
+    return fn(y, masks_out)
+
+
 def shard_chain(y, mesh: Mesh, axis: str = "tp"):
     """Place a padded chain ``(d, R, n, R)`` with the last rank axis sharded
     over ``mesh[axis]``."""
@@ -163,7 +248,8 @@ def tp_rounding_worthwhile(RA: int, rmax: int, p: int,
 def make_cn_step_dist(A, h: float, rmax: int, dims, u_rks, mesh: Mesh,
                       dtype=jnp.float64, sweep_count: int = 4,
                       solver: str = "lu", axis: str = "tp",
-                      force_tp: bool | None = None):
+                      force_tp: bool | None = None,
+                      round_method: str = "gram"):
     """Crank–Nicolson step with the rounding stage tp-sharded: the
     distributed twin of :func:`ttnx.solvers.round_scan.make_cn_step`
     (``round_method='gram'``). The MPO application and ALS solve run at the
@@ -176,6 +262,13 @@ def make_cn_step_dist(A, h: float, rmax: int, dims, u_rks, mesh: Mesh,
     REPLICATED rounding — so the auto path is the measured-fastest one and
     the sharded kernel runs only on request (``force_tp=True``, used by the
     multichip dryrun to exercise the collective path).
+
+    ``round_method='gram'`` (default) matches
+    ``make_cn_step(round_method='gram')`` gauge-for-gauge;
+    ``'gram_chain'`` uses the Amdahl-free Gram-chain formulation
+    (:func:`gram_chain_round_dist` when sharded, ``tt_round_gram``
+    replicated) — the flagship rounding and the designated basis for real
+    multi-chip rank sharding.
     """
     import numpy as np
 
@@ -215,6 +308,9 @@ def make_cn_step_dist(A, h: float, rmax: int, dims, u_rks, mesh: Mesh,
             1e-3 * rng.standard_normal((u_rks[i], 2, u_rks[i + 1])))
     guess_noise = jnp.asarray(noise_np, dtype=dtype)
 
+    if round_method not in ("gram", "gram_chain"):
+        raise ValueError("round_method must be 'gram' or 'gram_chain', "
+                         f"got {round_method!r}")
     p = mesh.shape[axis]
     use_tp = (tp_rounding_worthwhile(RA, rmax, p) if force_tp is None
               else bool(force_tp)) and p > 1
@@ -225,7 +321,15 @@ def make_cn_step_dist(A, h: float, rmax: int, dims, u_rks, mesh: Mesh,
         if use_tp:
             big = jax.lax.with_sharding_constraint(
                 big, NamedSharding(mesh, P(None, None, None, axis)))
-            b = gram_round_dist(big, masks_big, rmax, masks_out, mesh, axis)
+            if round_method == "gram_chain":
+                b = gram_chain_round_dist(big, rmax, masks_out, mesh, axis)
+            else:
+                b = gram_round_dist(big, masks_big, rmax, masks_out, mesh,
+                                    axis)
+        elif round_method == "gram_chain":
+            from ttnx.solvers.round_scan import tt_round_gram
+
+            b = tt_round_gram(big, rmax, masks_out)
         else:
             from ttnx.solvers.round_scan import tt_round_scan
 
