@@ -32,3 +32,10 @@ from ttnx.solvers.krylov import (  # noqa: F401
     bicgstab_tt,
     cg_tt,
 )
+from ttnx.solvers.round_scan import (  # noqa: F401
+    make_cn_evolve,
+    make_cn_step,
+    matvec_padded,
+    tt_round_gram,
+    tt_round_scan,
+)
