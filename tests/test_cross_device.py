@@ -125,3 +125,79 @@ def test_device_cross_vmap_parameter_sweep():
         for cb, c1 in zip(cores_b, cores_1):
             assert np.allclose(np.asarray(cb[k]), np.asarray(c1), atol=1e-10)
         assert eps_b[k, -1] < 1e-10 and eps_1[-1] < 1e-10
+
+
+def test_device_dmrg_cross_separable_gaussian():
+    g = np.linspace(-1, 1, 12)
+
+    def f(X):
+        return jnp.exp(-jnp.sum(X ** 2, axis=1))
+
+    tt, eps = tt_cross_device(f, [g] * 4, rank=3, n_iters=3, n_val=300,
+                              method="dmrg")
+    from ttnx.core.decomp import ttv_to_tensor
+
+    xs = np.stack(np.meshgrid(*[g] * 4, indexing="ij"), axis=-1)
+    expect = np.exp(-np.sum(xs ** 2, axis=-1))
+    got = np.asarray(ttv_to_tensor(tt))
+    assert np.linalg.norm(got - expect) / np.linalg.norm(expect) < 1e-8
+    assert eps[-1] < 1e-8
+
+
+def test_device_dmrg_cross_wishart_5d():
+    d = 5
+    nu = d + 2
+    p = nu / 2
+    Sigma = np.array([
+        [1.0, 0.3, 0.2, 0.1, 0.18],
+        [0.3, 1.2, 0.25, 0.15, 0.22],
+        [0.2, 0.25, 0.9, 0.2, 0.28],
+        [0.1, 0.15, 0.2, 1.1, 0.19],
+        [0.18, 0.22, 0.28, 0.19, 1.05],
+    ])
+    sigma = jnp.asarray(2 * Sigma)
+
+    def f(X):
+        M = jnp.eye(d)[None] + sigma[None] * X[:, None, :]
+        return jnp.linalg.det(M) ** (-p)
+
+    domain = [np.linspace(0.0, 2.0, 8)] * d
+    tt, eps = tt_cross_device(f, domain, rank=8, n_iters=3, n_val=1500,
+                              seed=2026, method="dmrg")
+    rng = np.random.default_rng(2027)
+    idx = np.stack([rng.integers(0, 8, 200) for _ in range(d)], axis=1)
+    coords = np.stack([domain[k][idx[:, k]] for k in range(d)], axis=1)
+    ys = np.asarray(f(jnp.asarray(coords)))
+    yhat = np.asarray(evaluate_tt_indices(tt.cores, jnp.asarray(idx)))
+    rel_l2 = np.linalg.norm(ys - yhat) / np.linalg.norm(ys)
+    assert rel_l2 < 1e-4, rel_l2
+
+
+def test_device_dmrg_cross_vmap():
+    """vmapped batched DMRG-cross matches per-parameter runs."""
+    from ttnx.cross.device import dmrg_cross_device
+
+    g = np.linspace(0.2, 1.5, 10)
+    Is = [10] * 3
+    thetas = jnp.asarray([0.5, 1.5])
+    grids = jnp.asarray(g)
+
+    def make_fidx(theta):
+        def f_idx(indices):
+            coords = jnp.take(grids, indices)
+            return jnp.exp(-theta * jnp.sum(coords ** 2, axis=1))
+        return f_idx
+
+    def run_one(theta, key):
+        return dmrg_cross_device(make_fidx(theta), Is, rank=2, n_iters=2,
+                                 n_val=100)(key)
+
+    key = jax.random.PRNGKey(3)
+    cores_b, eps_b = jax.jit(jax.vmap(run_one, in_axes=(0, None)))(thetas,
+                                                                   key)
+    for k in range(2):
+        cores_1, eps_1 = jax.jit(lambda t, k2: run_one(t, k2))(thetas[k],
+                                                               key)
+        for cb, c1 in zip(cores_b, cores_1):
+            assert np.allclose(np.asarray(cb[k]), np.asarray(c1), atol=1e-10)
+        assert eps_b[k, -1] < 1e-10

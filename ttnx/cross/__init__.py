@@ -11,6 +11,7 @@ from ttnx.cross.cross import (  # noqa: F401
 )
 from ttnx.cross.maxvol import maxvol  # noqa: F401
 from ttnx.cross.device import (  # noqa: F401
+    dmrg_cross_device,
     evaluate_tt_indices,
     index_evaluator,
     maxvol_cross_device,

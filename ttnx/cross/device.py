@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from jax import lax
 
 __all__ = ["maxvol_fixed", "evaluate_tt_indices", "index_evaluator",
-           "maxvol_cross_device", "tt_cross_device"]
+           "maxvol_cross_device", "dmrg_cross_device", "tt_cross_device"]
 
 
 @partial(jax.jit, static_argnames=("maxiter",))
@@ -198,17 +198,132 @@ def maxvol_cross_device(f_idx, Is: Sequence[int], rank: int,
     return run
 
 
+def _superblock_indices_jax(Il, Ig, s1: int, s2: int, k: int, N: int):
+    """(rl * s1 * s2 * rg, N) superblock index rows (C-order; same contract
+    as the host `_superblock_indices`)."""
+    rl = Il.shape[0]
+    rg = Ig.shape[0]
+    a = jnp.repeat(jnp.arange(rl, dtype=jnp.int32), s1 * s2 * rg)
+    b = jnp.tile(jnp.repeat(jnp.arange(s1, dtype=jnp.int32), s2 * rg), rl)
+    c = jnp.tile(jnp.repeat(jnp.arange(s2, dtype=jnp.int32), rg), rl * s1)
+    d = jnp.tile(jnp.arange(rg, dtype=jnp.int32), rl * s1 * s2)
+    parts = []
+    if k > 0:
+        parts.append(Il[a])
+    parts.append(b[:, None])
+    parts.append(c[:, None])
+    if N - k - 2 > 0:
+        parts.append(Ig[d])
+    return jnp.concatenate(parts, axis=1)
+
+
+def dmrg_cross_device(f_idx, Is: Sequence[int], rank: int,
+                      n_iters: int = 3, pivot_tol: float = 1.05,
+                      pivot_maxiter: int = 100, dtype=jnp.float64,
+                      n_val: int = 0):
+    """Fixed-rank two-site DMRG-cross as one jittable function (device twin
+    of the host ``DMRGCross`` path, reference
+    tt_cross_interpolation.jl:523-658): superblock sampling, truncated SVD
+    to the STATIC target rank, maxvol pivots on the orthonormal factor,
+    nested index-set updates — all inside jit; ``vmap`` batches parameter
+    sweeps like :func:`maxvol_cross_device`. Returns ``fn(key) -> (cores,
+    val_eps)``."""
+    Is = [int(i) for i in Is]
+    N = len(Is)
+    if N < 2:
+        raise ValueError("dmrg_cross_device needs N >= 2 dimensions")
+    Rs = _cap_ranks_static([1] + [int(rank)] * (N - 1) + [1], Is, int(rank))
+
+    def run(key):
+        keys = jax.random.split(key, 2 * N + 1)
+        Il = [jnp.zeros((1, 0), dtype=jnp.int32)] + [
+            jnp.stack([jax.random.randint(keys[k], (Rs[k],), 0, Is[j],
+                                          dtype=jnp.int32)
+                       for j in range(k)], axis=1)
+            for k in range(1, N)]
+        Ig = [jnp.stack([jax.random.randint(keys[N + k], (Rs[k + 1],), 0,
+                                            Is[k + 1 + j], dtype=jnp.int32)
+                         for j in range(N - 1 - k)], axis=1)
+              for k in range(N - 1)] + [jnp.zeros((1, 0), dtype=jnp.int32)]
+        cores = [None] * N
+        if n_val:
+            vkey = jax.random.split(keys[2 * N], N)
+            Xv = jnp.stack([jax.random.randint(vkey[d], (n_val,), 0, Is[d],
+                                               dtype=jnp.int32)
+                            for d in range(N)], axis=1)
+            yv = f_idx(Xv)
+        eps_hist = []
+
+        def superblock(k):
+            rl, rg = Rs[k], Rs[k + 2]
+            idx = _superblock_indices_jax(Il[k], Ig[k + 1], Is[k],
+                                          Is[k + 1], k, N)
+            sb = f_idx(idx).reshape(rl * Is[k], Is[k + 1] * rg)
+            return sb, rl, rg
+
+        for _ in range(n_iters):
+            for k in range(N - 1):  # L -> R superblock sweep
+                sb, rl, rg = superblock(k)
+                u, s, vt = jnp.linalg.svd(sb, full_matrices=False)
+                r = Rs[k + 1]
+                u_r = u[:, :r]
+                if k < N - 2:
+                    piv = maxvol_fixed(u_r, pivot_tol, maxiter=pivot_maxiter)
+                    cores[k] = (u_r @ jnp.linalg.inv(u_r[piv])).reshape(
+                        rl, Is[k], r)
+                    rows = jnp.arange(rl * Is[k], dtype=jnp.int32)
+                    combined = jnp.concatenate(
+                        [Il[k][rows // Is[k]],
+                         (rows % Is[k])[:, None]], axis=1)
+                    Il[k + 1] = combined[piv]
+                else:
+                    cores[k] = u_r.reshape(rl, Is[k], r)
+                    cores[k + 1] = (s[:r, None] * vt[:r]).reshape(
+                        r, Is[k + 1], rg)
+            for k in range(N - 2, -1, -1):  # R -> L superblock sweep
+                sb, rl, rg = superblock(k)
+                u, s, vt = jnp.linalg.svd(sb, full_matrices=False)
+                r = Rs[k + 1]
+                if k > 0:
+                    q = jnp.conj(vt[:r]).T               # (s2*rg, r)
+                    piv = maxvol_fixed(q, pivot_tol, maxiter=pivot_maxiter)
+                    cores[k + 1] = jnp.conj(
+                        q @ jnp.linalg.inv(q[piv])).T.reshape(
+                            r, Is[k + 1], rg)
+                    rows = jnp.arange(Is[k + 1] * rg, dtype=jnp.int32)
+                    combined = jnp.concatenate(
+                        [(rows // rg)[:, None], Ig[k + 1][rows % rg]],
+                        axis=1)
+                    Ig[k] = combined[piv]
+                else:
+                    cores[k] = (u[:, :r] * s[:r][None]).reshape(
+                        rl, Is[k], r)
+                    cores[k + 1] = vt[:r].reshape(r, Is[k + 1], rg)
+            if n_val:
+                yhat = evaluate_tt_indices(cores, Xv)
+                eps_hist.append(jnp.linalg.norm(yv - yhat)
+                                / jnp.maximum(jnp.linalg.norm(yv), 1e-300))
+            else:
+                eps_hist.append(jnp.zeros((), dtype=jnp.zeros(
+                    (), dtype=dtype).real.dtype))
+        return cores, jnp.stack(eps_hist)
+
+    return run
+
+
 def tt_cross_device(f, domain, rank: int, n_iters: int = 3,
                     pivot_tol: float = 1.05, dtype=jnp.float64,
-                    n_val: int = 0, seed: int = 0):
-    """Convenience driver: jit + run the device MaxVol cross on coordinate
+                    n_val: int = 0, seed: int = 0, method: str = "maxvol"):
+    """Convenience driver: jit + run the device cross (``method='maxvol'``
+    alternating-fiber or ``'dmrg'`` two-site superblock) on coordinate
     grids with a jittable ``f``; returns ``(TTVector, val_eps)``."""
     from ttnx.core.tt import TTVector
 
     f_idx = index_evaluator(f, domain, dtype=dtype)
     Is = [len(np.asarray(g)) for g in domain]
-    run = jax.jit(maxvol_cross_device(f_idx, Is, rank, n_iters=n_iters,
-                                      pivot_tol=pivot_tol, dtype=dtype,
-                                      n_val=n_val))
+    maker = {"maxvol": maxvol_cross_device,
+             "dmrg": dmrg_cross_device}[method]
+    run = jax.jit(maker(f_idx, Is, rank, n_iters=n_iters,
+                        pivot_tol=pivot_tol, dtype=dtype, n_val=n_val))
     cores, eps = run(jax.random.PRNGKey(seed))
     return TTVector([jnp.asarray(c) for c in cores]), np.asarray(eps)
