@@ -201,3 +201,28 @@ def test_device_dmrg_cross_vmap():
         for cb, c1 in zip(cores_b, cores_1):
             assert np.allclose(np.asarray(cb[k]), np.asarray(c1), atol=1e-10)
         assert eps_b[k, -1] < 1e-10
+
+
+def test_device_cross_adaptive_rank_escalation():
+    """tt_cross_device_adaptive stops at the first stage meeting tol: a
+    separable Gaussian (true ranks 1) stops at the first schedule entry; a
+    tighter-than-reachable tol escalates to the last."""
+    from ttnx.cross.device import tt_cross_device_adaptive
+
+    g = np.linspace(-1, 1, 10)
+
+    def f(X):
+        return jnp.exp(-jnp.sum(X ** 2, axis=1))
+
+    tt, eps, rank = tt_cross_device_adaptive(f, [g] * 3, tol=1e-8,
+                                             rank_schedule=(2, 4, 8))
+    assert rank == 2 and eps[-1] < 1e-8
+
+    def f2(X):  # genuinely coupled: needs higher rank
+        return jnp.exp(-jnp.sum(X ** 2, axis=1)) / (
+            1.1 + jnp.prod(jnp.sin(3 * X), axis=1))
+
+    tt2, eps2, rank2 = tt_cross_device_adaptive(f2, [g] * 3, tol=1e-12,
+                                                rank_schedule=(2, 4))
+    assert rank2 == 4
+    assert eps2[-1] < 0.5  # usable approximation at the small cap

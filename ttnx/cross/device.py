@@ -29,7 +29,8 @@ import jax.numpy as jnp
 from jax import lax
 
 __all__ = ["maxvol_fixed", "evaluate_tt_indices", "index_evaluator",
-           "maxvol_cross_device", "dmrg_cross_device", "tt_cross_device"]
+           "maxvol_cross_device", "dmrg_cross_device", "tt_cross_device",
+           "tt_cross_device_adaptive"]
 
 
 @partial(jax.jit, static_argnames=("maxiter",))
@@ -327,3 +328,34 @@ def tt_cross_device(f, domain, rank: int, n_iters: int = 3,
                         pivot_tol=pivot_tol, dtype=dtype, n_val=n_val))
     cores, eps = run(jax.random.PRNGKey(seed))
     return TTVector([jnp.asarray(c) for c in cores]), np.asarray(eps)
+
+
+def tt_cross_device_adaptive(f, domain, tol: float = 1e-10,
+                             rank_schedule=(2, 4, 8, 16), n_iters: int = 3,
+                             n_val: int = 1000, seed: int = 0,
+                             method: str = "maxvol", dtype=jnp.float64,
+                             pivot_tol: float = 1.05):
+    """Rank-adaptive device cross: a host loop over STATIC-rank jitted
+    stages (the jit-discipline analog of the host path's kickrank growth —
+    ranks are compile-time constants per stage, the validation eps decides
+    whether to escalate). Each stage is one compiled program; stages with
+    the same (shape, rank) hit the jit cache across calls. Returns
+    ``(TTVector, eps, rank_used)``."""
+    from ttnx.core.tt import TTVector
+
+    f_idx = index_evaluator(f, domain, dtype=dtype)
+    Is = [len(np.asarray(g)) for g in domain]
+    maker = {"maxvol": maxvol_cross_device,
+             "dmrg": dmrg_cross_device}[method]
+    key = jax.random.PRNGKey(seed)
+    cores = eps = None
+    rank_used = None
+    for rank in rank_schedule:
+        run = jax.jit(maker(f_idx, Is, int(rank), n_iters=n_iters,
+                            pivot_tol=pivot_tol, dtype=dtype, n_val=n_val))
+        cores, eps = run(key)
+        rank_used = int(rank)
+        if float(eps[-1]) < tol:
+            break
+    return (TTVector([jnp.asarray(c) for c in cores]), np.asarray(eps),
+            rank_used)
