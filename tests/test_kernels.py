@@ -268,3 +268,49 @@ def test_matmul_chain_matches_reference_loop(rng):
     for _ in range(4):
         acc = np.einsum("bmk,bkn->bmn", acc, wn).astype(np.float32)
     assert np.allclose(np.asarray(out), acc, atol=1e-4)
+
+
+def test_lanczos_fused_matches_matrix_free(rng):
+    """lanczos_fused vs the matrix-free _lanczos_eigmin: same smallest Ritz
+    value and (up to sign) vector on a masked SPD two-site operator."""
+    import jax
+    from ttnx.solvers.dmrg_scan import (_lanczos_eigmin,
+                                        _lanczos_eigmin_fused, _window_mask)
+
+    R, n, RA = 4, 2, 3
+    C = rng.standard_normal((R, RA, R))
+    L = jnp.asarray(np.einsum("aWb,cWd->aWbcd", C, C).mean(-1))  # junk PSD-ish
+    # build symmetric L/Renv envs the way the sweep does: via random cores
+    L = jnp.asarray(rng.standard_normal((R, RA, R)))
+    L = 0.5 * (L + jnp.swapaxes(L, 0, 2))
+    Renv = jnp.asarray(rng.standard_normal((R, RA, R)))
+    Renv = 0.5 * (Renv + jnp.swapaxes(Renv, 0, 2))
+    A = rng.standard_normal((RA, n, n, RA))
+    A = 0.5 * (A + np.swapaxes(A, 1, 2))  # Hermitian physical block
+    Ai = jnp.asarray(A)
+    m_l = jnp.ones((R,)).at[R - 1].set(0.0)
+    m_r = jnp.ones((R,))
+    mask4 = _window_mask(m_l, m_r, n)
+    v0 = jnp.asarray(rng.standard_normal((R, n, n, R))) * mask4
+    lam_a, va = _lanczos_eigmin(L, Ai, Ai, Renv, v0, mask4, 24)
+    lam_b, vb = _lanczos_eigmin_fused(L, Ai, Ai, Renv, v0, mask4, 24)
+    assert np.isclose(float(lam_a), float(lam_b), atol=1e-8)
+    ova = np.abs(np.vdot(np.asarray(va), np.asarray(vb)))
+    assert ova > 1 - 1e-8, ova
+
+
+def test_dmrg_eigsolve_scan_fused_heisenberg():
+    """dmrg_eigsolve_scan(eig_solver='lanczos_fused') reaches the dense
+    ground-state energy on the Heisenberg chain (config 3 workload)."""
+    import jax
+    import ttnx
+    from ttnx.solvers.dmrg_scan import dmrg_eigsolve_scan
+
+    d = 6
+    H = ttnx.heisenberg_xyz_tto(d, jx=1.0, jy=1.0, jz=1.0)
+    x0 = ttnx.rand_tt(jax.random.PRNGKey(3), (2,) * d, rmax=6,
+                      normalise=True, orthogonal=True)
+    E, psi = dmrg_eigsolve_scan(H, x0, tol=1e-10, rmax=12, n_sweeps=3,
+                                eig_solver="lanczos_fused")
+    w = np.linalg.eigvalsh(np.asarray(ttnx.qtto_to_matrix(H)))
+    assert abs(float(E[-1]) - w[0]) < 1e-7, (float(E[-1]), w[0])

@@ -150,6 +150,51 @@ def _lanczos_eigmin(L, Ai, Aj, Renv, v0, mask4, iters: int):
     return theta[0], ritz * mask4
 
 
+def _ritz_from_lanczos(basis, alphas, betas, mask4, shape):
+    """Shared tail: dead-direction padding, tridiagonal eigh, smallest Ritz
+    pair recombination (identical to the in-line tail of _lanczos_eigmin)."""
+    alive = (jnp.sum(jnp.abs(basis) ** 2, axis=1) > 0.0)
+    pad = jnp.max(jnp.abs(alphas)) + 2.0 * jnp.max(jnp.abs(betas)) + 1.0
+    alphas = jnp.where(alive, alphas, pad)
+    T = (jnp.diag(alphas) + jnp.diag(betas[:-1], 1)
+         + jnp.diag(betas[:-1], -1))
+    theta, Y = jnp.linalg.eigh(T)
+    ritz = (basis.T @ Y[:, 0].astype(basis.dtype)).reshape(shape)
+    nrm = jnp.linalg.norm(ritz)
+    ritz = ritz / jnp.maximum(nrm, 1e-30)
+    return theta[0], ritz * mask4
+
+
+def _lanczos_eigmin_fused(L, Ai, Aj, Renv, v0, mask4, iters: int):
+    """Fused-kernel variant of :func:`_lanczos_eigmin`: assembles the dense
+    masked two-site operator (4 MB at M=1024) and runs ALL Lanczos
+    iterations inside one VMEM-resident Pallas kernel
+    (:func:`ttnx.kernels.lanczos.lanczos_fused`) — trading the module's
+    matrix-free discipline for fusion where K fits VMEM (the same trade
+    als_scan's ``cg_fused`` makes). Falls back to the matrix-free form for
+    complex dtypes or oversized M."""
+    from ttnx.kernels.dispatch import pallas_interpret
+    from ttnx.kernels.lanczos import can_fuse_lanczos, lanczos_fused
+
+    R = v0.shape[0]
+    n = v0.shape[1]
+    M = R * n * n * R
+    if not can_fuse_lanczos(v0.dtype, M):
+        return _lanczos_eigmin(L, Ai, Aj, Renv, v0, mask4, iters)
+    maskf = mask4.reshape(M)
+    K = jnp.einsum("aWb,WiIw,wjJv,cvd->aijcbIJd", L, Ai, Aj, Renv,
+                   optimize=True).reshape(M, M)
+    K = K * maskf[:, None] * maskf[None, :]
+    v0f = v0.reshape(M) * maskf
+    nrm0 = jnp.linalg.norm(v0f)
+    fallback = maskf / jnp.maximum(jnp.linalg.norm(maskf), 1e-30)
+    v0f = jnp.where(nrm0 > 1e-12, v0f / jnp.maximum(nrm0, 1e-30),
+                    fallback.astype(v0f.dtype))
+    basis, alphas, betas = lanczos_fused(K, v0f, iters,
+                                         interpret=pallas_interpret())
+    return _ritz_from_lanczos(basis, alphas, betas, mask4, (R, n, n, R))
+
+
 def _cg_solve2(L, Ai, Aj, Renv, Lb, bi, bj, Rb_env, v0, mask4,
                iters: int):
     """Fixed-iteration CG on the masked two-site normal form (SPD local
@@ -202,12 +247,21 @@ def _split_left(V, tol, degen_tol, R, n):
     return core, rest, keep
 
 
-@partial(jax.jit, static_argnames=("lanczos_iters",))
+@partial(jax.jit, static_argnames=("lanczos_iters", "eig_solver"))
 def dmrg_eig_sweep(A_stack, x_stack, mask_stack, tol, degen_tol,
-                   lanczos_iters: int = 24):
+                   lanczos_iters: int = 24, eig_solver: str = "lanczos"):
     """One full (forward + backward) jitted two-site DMRG eigsweep with
     Lanczos local solves and warm starts; returns
-    ``(x_stack, mask_stack, energies)``."""
+    ``(x_stack, mask_stack, energies)``.
+
+    ``eig_solver='lanczos'`` is the matrix-free einsum form;
+    ``'lanczos_fused'`` assembles the dense masked two-site operator and
+    runs the whole iteration inside one Pallas kernel
+    (:mod:`ttnx.kernels.lanczos`) where it fits VMEM."""
+    if eig_solver not in ("lanczos", "lanczos_fused"):
+        raise ValueError(f"unknown eig_solver {eig_solver!r}")
+    eigmin = (_lanczos_eigmin_fused if eig_solver == "lanczos_fused"
+              else _lanczos_eigmin)
     d, R, n, _ = x_stack.shape
     dt = x_stack.dtype
     RA = A_stack.shape[1]
@@ -232,7 +286,7 @@ def dmrg_eig_sweep(A_stack, x_stack, mask_stack, tol, degen_tol,
         Ai, Aj, xj, Renv, m_r = inp
         mask4 = _window_mask(m_l, m_r, n)
         v0 = jnp.einsum("anb,bmc->anmc", last, xj * m_r[None, None, :])
-        lam, V = _lanczos_eigmin(L, Ai, Aj, Renv, v0, mask4, lanczos_iters)
+        lam, V = eigmin(L, Ai, Aj, Renv, v0, mask4, lanczos_iters)
         core, rest, keep = _split_right(V, tol, degen_tol, R, n)
         L_new = jnp.einsum("aic,aWb,Wijw,bjd->cwd", jnp.conj(core), L, Ai,
                            core, optimize=True)
@@ -268,7 +322,7 @@ def dmrg_eig_sweep(A_stack, x_stack, mask_stack, tol, degen_tol,
         Ai, Aj, xi, Lenv, m_l = inp
         mask4 = _window_mask(m_l, m_r, n)
         v0 = jnp.einsum("anb,bmc->anmc", xi * m_l[:, None, None], first)
-        lam, V = _lanczos_eigmin(Lenv, Ai, Aj, Renv, v0, mask4, lanczos_iters)
+        lam, V = eigmin(Lenv, Ai, Aj, Renv, v0, mask4, lanczos_iters)
         core, rest, keep = _split_left(V, tol, degen_tol, R, n)
         R_new = jnp.einsum("aip,Wijw,bjq,pwq->aWb", jnp.conj(core), Aj, core,
                            Renv, optimize=True)
@@ -404,9 +458,12 @@ def _init_masks(x, rmax, real_dt):
 
 def dmrg_eigsolve_scan(A: TTOperator, x0: TTVector, tol: float = 1e-12,
                        degen_tol: float = 1e-10, rmax: int | None = None,
-                       n_sweeps: int = 2, lanczos_iters: int = 24):
+                       n_sweeps: int = 2, lanczos_iters: int = 24,
+                       eig_solver: str = "lanczos"):
     """Jitted rank-adaptive two-site DMRG ground-state solver with
-    matrix-free Lanczos local eigensolves; returns ``(E, x)``."""
+    matrix-free Lanczos local eigensolves (``eig_solver='lanczos_fused'``
+    runs them inside one Pallas kernel where K fits VMEM); returns
+    ``(E, x)``."""
     if rmax is None:
         rmax = min(int(round(np.sqrt(float(np.prod(x0.dims))))), 64)
     x = orthogonalize(x0, 0)
@@ -421,7 +478,8 @@ def dmrg_eigsolve_scan(A: TTOperator, x0: TTVector, tol: float = 1e-12,
     for _ in range(n_sweeps):
         x_stack, masks, lams = dmrg_eig_sweep(A_stack, x_stack, masks,
                                               tol_arr, dg_arr,
-                                              lanczos_iters=lanczos_iters)
+                                              lanczos_iters=lanczos_iters,
+                                              eig_solver=eig_solver)
         energies.append(np.asarray(jnp.real(lams)))
     rks = [int(v) for v in np.asarray(jnp.sum(masks, axis=1))]
     return np.concatenate(energies), unpack_tt(x_stack, rks)
