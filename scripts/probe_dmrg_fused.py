@@ -41,7 +41,8 @@ def main():
     for solver in ("lanczos", "lanczos_fused"):
         t0 = time.perf_counter()
         x, m, lam = dmrg_eig_sweep(A_stack, x_stack, masks, tol, dtol,
-                                   lanczos_iters=24, eig_solver=solver)
+                                   lanczos_iters=24, eig_solver=solver,
+                                   split="gram")
         _sync(lam)
         res[f"{solver}_compile_s"] = round(time.perf_counter() - t0, 1)
         best = None
@@ -51,7 +52,8 @@ def main():
             for _ in range(8):
                 xs, ms, lam = dmrg_eig_sweep(A_stack, xs, ms, tol, dtol,
                                              lanczos_iters=24,
-                                             eig_solver=solver)
+                                             eig_solver=solver,
+                                             split="gram")
             _sync(lam)
             dtm = time.perf_counter() - t0
             best = dtm if best is None else min(best, dtm)

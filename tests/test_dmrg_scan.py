@@ -87,3 +87,21 @@ def test_single_compiled_program(key):
     # tol / degen_tol are runtime data: changing them must not retrace
     dmrg_linsolve_scan(A, b, x0, tol=1e-6, degen_tol=1e-8, rmax=16)
     assert dmrg_sweep._cache_size() == n1
+
+
+def test_eig_sweep_gram_split_matches_svd():
+    """split='gram' (eigh-based, remote-TPU-safe) matches the SVD split on
+    the Heisenberg ground state to solver accuracy."""
+    import jax
+    import numpy as np
+    import ttnx
+    from ttnx.solvers.dmrg_scan import dmrg_eigsolve_scan
+
+    d = 6
+    H = ttnx.heisenberg_xyz_tto(d, jx=1.0, jy=1.0, jz=1.0)
+    x0 = ttnx.rand_tt(jax.random.PRNGKey(3), (2,) * d, rmax=6,
+                      normalise=True, orthogonal=True)
+    E_s, _ = dmrg_eigsolve_scan(H, x0, tol=1e-10, rmax=12, n_sweeps=3)
+    E_g, _ = dmrg_eigsolve_scan(H, x0, tol=1e-10, rmax=12, n_sweeps=3,
+                                split="gram", eig_solver="lanczos_fused")
+    assert abs(float(E_s[-1]) - float(E_g[-1])) < 1e-8

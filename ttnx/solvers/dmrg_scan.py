@@ -231,25 +231,50 @@ def _cg_solve2(L, Ai, Aj, Renv, Lb, bi, bj, Rb_env, v0, mask4,
 # ---------------------------------------------------------------------------
 
 
-def _split_right(V, tol, degen_tol, R, n):
-    u, s, vt = jnp.linalg.svd(V.reshape(R * n, n * R), full_matrices=False)
+def _split_right(V, tol, degen_tol, R, n, method="svd"):
+    Vm = V.reshape(R * n, n * R)
+    if method == "gram":
+        # eigh of the (Rn, Rn) Gram instead of SVD: any SVD inside lax.scan
+        # SIGABRTs the remote TPU toolchain (measured 2026-08-21 on this
+        # sweep; same bug class as round_scan's wide-SVD note). u = desc
+        # eigenvectors, s = sqrt(desc eigenvalues), and u^H Vm == s*vt
+        # exactly. Squared-condition accuracy trade as in tt_round_gram.
+        B = Vm @ jnp.conj(Vm).T
+        w, U = jnp.linalg.eigh(0.5 * (B + jnp.conj(B).T))
+        s = jnp.sqrt(jnp.maximum(w[::-1], 0.0))
+        u = U[:, ::-1]
+        svt = jnp.conj(u).T @ Vm
+    else:
+        u, s, vt = jnp.linalg.svd(Vm, full_matrices=False)
+        svt = s[:, None] * vt
     keep = cut_off_mask(s, tol, degen_tol)[:R]
     core = (u[:, :R] * keep[None, :]).reshape(R, n, R)
-    rest = ((s[:R, None] * vt[:R, :]) * keep[:, None]).reshape(R, n, R)
+    rest = (svt[:R, :] * keep[:, None]).reshape(R, n, R)
     return core, rest, keep
 
 
-def _split_left(V, tol, degen_tol, R, n):
-    u, s, vt = jnp.linalg.svd(V.reshape(R * n, n * R), full_matrices=False)
+def _split_left(V, tol, degen_tol, R, n, method="svd"):
+    Vm = V.reshape(R * n, n * R)
+    if method == "gram":
+        B = jnp.conj(Vm).T @ Vm
+        w, W = jnp.linalg.eigh(0.5 * (B + jnp.conj(B).T))
+        s = jnp.sqrt(jnp.maximum(w[::-1], 0.0))
+        v2 = W[:, ::-1]                       # right singular vectors
+        vt = jnp.conj(v2).T
+        us = Vm @ v2                          # columns u_i * s_i
+    else:
+        u, s, vt = jnp.linalg.svd(Vm, full_matrices=False)
+        us = u * s[None, :]
     keep = cut_off_mask(s, tol, degen_tol)[:R]
     core = (vt[:R, :] * keep[:, None]).reshape(R, n, R)
-    rest = ((u[:, :R] * s[None, :R]) * keep[None, :]).reshape(R, n, R)
+    rest = (us[:, :R] * keep[None, :]).reshape(R, n, R)
     return core, rest, keep
 
 
-@partial(jax.jit, static_argnames=("lanczos_iters", "eig_solver"))
+@partial(jax.jit, static_argnames=("lanczos_iters", "eig_solver", "split"))
 def dmrg_eig_sweep(A_stack, x_stack, mask_stack, tol, degen_tol,
-                   lanczos_iters: int = 24, eig_solver: str = "lanczos"):
+                   lanczos_iters: int = 24, eig_solver: str = "lanczos",
+                   split: str = "svd"):
     """One full (forward + backward) jitted two-site DMRG eigsweep with
     Lanczos local solves and warm starts; returns
     ``(x_stack, mask_stack, energies)``.
@@ -287,7 +312,7 @@ def dmrg_eig_sweep(A_stack, x_stack, mask_stack, tol, degen_tol,
         mask4 = _window_mask(m_l, m_r, n)
         v0 = jnp.einsum("anb,bmc->anmc", last, xj * m_r[None, None, :])
         lam, V = eigmin(L, Ai, Aj, Renv, v0, mask4, lanczos_iters)
-        core, rest, keep = _split_right(V, tol, degen_tol, R, n)
+        core, rest, keep = _split_right(V, tol, degen_tol, R, n, split)
         L_new = jnp.einsum("aic,aWb,Wijw,bjd->cwd", jnp.conj(core), L, Ai,
                            core, optimize=True)
         return (L_new, keep, rest), (core, keep, lam)
@@ -323,7 +348,7 @@ def dmrg_eig_sweep(A_stack, x_stack, mask_stack, tol, degen_tol,
         mask4 = _window_mask(m_l, m_r, n)
         v0 = jnp.einsum("anb,bmc->anmc", xi * m_l[:, None, None], first)
         lam, V = eigmin(Lenv, Ai, Aj, Renv, v0, mask4, lanczos_iters)
-        core, rest, keep = _split_left(V, tol, degen_tol, R, n)
+        core, rest, keep = _split_left(V, tol, degen_tol, R, n, split)
         R_new = jnp.einsum("aip,Wijw,bjq,pwq->aWb", jnp.conj(core), Aj, core,
                            Renv, optimize=True)
         return (R_new, keep, rest), (core, keep, lam)
@@ -339,11 +364,12 @@ def dmrg_eig_sweep(A_stack, x_stack, mask_stack, tol, degen_tol,
     return x_out, masks_out, jnp.concatenate([lams_f, lams_b[::-1]])
 
 
-@partial(jax.jit, static_argnames=("cg_iters",))
+@partial(jax.jit, static_argnames=("cg_iters", "split"))
 def dmrg_sweep(A_stack, b_stack, x_stack, mask_stack, tol, degen_tol,
-               cg_iters: int = 48):
+               cg_iters: int = 48, split: str = "svd"):
     """One full jitted two-site DMRG linsolve sweep (CG local solves,
-    warm-started); returns ``(x_stack, mask_stack)``."""
+    warm-started); returns ``(x_stack, mask_stack)``. ``split='gram'``
+    replaces the in-scan SVD with the eigh-based split (remote-TPU safe)."""
     d, R, n, _ = x_stack.shape
     dt = x_stack.dtype
     RA = A_stack.shape[1]
@@ -378,7 +404,7 @@ def dmrg_sweep(A_stack, b_stack, x_stack, mask_stack, tol, degen_tol,
         v0 = jnp.einsum("anb,bmc->anmc", last, xj * m_r[None, None, :])
         V = _cg_solve2(L, Ai, Aj, Renv, Lb, bi, bj, Rb_env, v0, mask4,
                        cg_iters)
-        core, rest, keep = _split_right(V, tol, degen_tol, R, n)
+        core, rest, keep = _split_right(V, tol, degen_tol, R, n, split)
         L_new = jnp.einsum("aic,aWb,Wijw,bjd->cwd", jnp.conj(core), L, Ai,
                            core, optimize=True)
         Lb_new = jnp.einsum("aip,au,uiv->pv", jnp.conj(core), Lb, bi,
@@ -424,7 +450,7 @@ def dmrg_sweep(A_stack, b_stack, x_stack, mask_stack, tol, degen_tol,
         v0 = jnp.einsum("anb,bmc->anmc", xi * m_l[:, None, None], first)
         V = _cg_solve2(Lenv, Ai, Aj, Renv, Lb_env, bi, bj, Rb_env, v0, mask4,
                        cg_iters)
-        core, rest, keep = _split_left(V, tol, degen_tol, R, n)
+        core, rest, keep = _split_left(V, tol, degen_tol, R, n, split)
         R_new = jnp.einsum("aip,Wijw,bjq,pwq->aWb", jnp.conj(core), Aj, core,
                            Renv, optimize=True)
         Rb_new = jnp.einsum("aip,uiv,pv->au", jnp.conj(core), bj, Rb_env,
@@ -459,7 +485,7 @@ def _init_masks(x, rmax, real_dt):
 def dmrg_eigsolve_scan(A: TTOperator, x0: TTVector, tol: float = 1e-12,
                        degen_tol: float = 1e-10, rmax: int | None = None,
                        n_sweeps: int = 2, lanczos_iters: int = 24,
-                       eig_solver: str = "lanczos"):
+                       eig_solver: str = "lanczos", split: str = "svd"):
     """Jitted rank-adaptive two-site DMRG ground-state solver with
     matrix-free Lanczos local eigensolves (``eig_solver='lanczos_fused'``
     runs them inside one Pallas kernel where K fits VMEM); returns
@@ -479,7 +505,8 @@ def dmrg_eigsolve_scan(A: TTOperator, x0: TTVector, tol: float = 1e-12,
         x_stack, masks, lams = dmrg_eig_sweep(A_stack, x_stack, masks,
                                               tol_arr, dg_arr,
                                               lanczos_iters=lanczos_iters,
-                                              eig_solver=eig_solver)
+                                              eig_solver=eig_solver,
+                                              split=split)
         energies.append(np.asarray(jnp.real(lams)))
     rks = [int(v) for v in np.asarray(jnp.sum(masks, axis=1))]
     return np.concatenate(energies), unpack_tt(x_stack, rks)
