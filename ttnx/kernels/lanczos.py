@@ -51,20 +51,28 @@ def _matvec_rowform(v, K, dt):
         precision=jax.lax.Precision.HIGHEST)
 
 
-def _lanczos_kernel(K_ref, v0_ref, q_ref, ab_ref, *, iters: int):
-    K = K_ref[:]                 # (M, M) symmetric masked operator
+def _lanczos_kernel(K_ref, v0_ref, q_ref, a_ref, b_ref, *, iters: int):
+    # Neither .at[].set (scatter) nor jax.lax.dynamic_update_slice on VALUES
+    # lowers in this Mosaic version — but static-index STORES TO REFS do
+    # (same pattern as kernels/gram.py), so the basis accumulates directly
+    # in the output ref and is read back whole for the reorthogonalization
+    # products (rows not yet written are zero -> no-op contributions).
     v = v0_ref[:]                # (1, M), unit norm, masked
     dt = v.dtype
-    M = v.shape[1]
-    Q = jnp.zeros((iters, M), dt)
-    ab = jnp.zeros((2, iters), dt)
     tiny = jnp.asarray(1e-12, dt)
+    q_ref[:] = jnp.zeros_like(q_ref)
+    a_ref[:] = jnp.zeros_like(a_ref)
+    b_ref[:] = jnp.zeros_like(b_ref)
 
     for j in range(iters):
-        Q = Q.at[j].set(v[0])
-        w = _matvec_rowform(v, K, dt)
-        a = _rowdot(v, w, dt)                       # (1, 1)
-        ab = ab.at[0, j].set(a[0, 0])
+        q_ref[pl.dslice(j, 1)] = v
+        # K stays in its input buffer: binding `K = K_ref[:]` once doubles
+        # the VMEM footprint (input buffer + value copy -> scoped-vmem OOM
+        # at M=1024, measured 2026-08-21); per-use loads let Mosaic reuse
+        # the buffer
+        w = _matvec_rowform(v, K_ref[:], dt)
+        a_ref[pl.dslice(j, 1)] = _rowdot(v, w, dt)        # (1, 1)
+        Q = q_ref[:]
         # two-pass full reorthogonalization against the stored basis
         for _ in range(2):
             coeffs = jax.lax.dot_general(
@@ -78,11 +86,8 @@ def _lanczos_kernel(K_ref, v0_ref, q_ref, ab_ref, *, iters: int):
         b = jnp.sqrt(jnp.maximum(b2, 0.0))
         ok = b > tiny
         if j + 1 < iters:
-            ab = ab.at[1, j].set(jnp.where(ok, b, 0.0)[0, 0])
+            b_ref[pl.dslice(j, 1)] = jnp.where(ok, b, jnp.zeros_like(b))
             v = jnp.where(ok, w / jnp.maximum(b, tiny), jnp.zeros_like(w))
-
-    q_ref[:] = Q
-    ab_ref[:] = ab
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "interpret"))
@@ -93,20 +98,19 @@ def lanczos_fused(K, v0, iters: int = 16, interpret: bool = False):
     basis rows are zero)."""
     M = K.shape[0]
     v2 = v0.reshape(1, M)
-    Q, ab = pl.pallas_call(
+    mem = pl.ANY if interpret else pltpu.VMEM
+    Q, alphas, betas = pl.pallas_call(
         functools.partial(_lanczos_kernel, iters=iters),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=mem),
+                  pl.BlockSpec(memory_space=mem)],
+        out_specs=[pl.BlockSpec(memory_space=mem),
+                   pl.BlockSpec(memory_space=mem),
+                   pl.BlockSpec(memory_space=mem)],
         out_shape=[
             jax.ShapeDtypeStruct((iters, M), K.dtype),
-            jax.ShapeDtypeStruct((2, iters), K.dtype),
+            jax.ShapeDtypeStruct((iters, 1), K.dtype),
+            jax.ShapeDtypeStruct((iters, 1), K.dtype),
         ],
         interpret=interpret,
     )(K, v2)
-    return Q, ab[0], ab[1]
+    return Q, alphas[:, 0], betas[:, 0]
