@@ -201,6 +201,78 @@ def bench_matmul_roofline():
     return 2.0 * batch * m * k * k * iters / dt / 1e9
 
 
+def bench_dmrg_sweep():
+    """Device number for BASELINE config 3: one full jitted two-site DMRG
+    eigsweep on the Heisenberg XXX chain, d=10 f32 rmax=16 (gram split —
+    SVD-in-scan SIGABRTs the remote toolchain), chained 8 sweeps, one
+    sync."""
+    import ttnx
+    from ttnx.solvers.als_scan import pack_op, pack_tt, rank_masks
+    from ttnx.solvers.dmrg_scan import dmrg_eig_sweep
+
+    d, rmax = 10, 16
+    H = ttnx.heisenberg_xyz_tto(d, jx=1.0, jy=1.0, jz=1.0).astype(jnp.float32)
+    x0 = ttnx.rand_tt(jax.random.PRNGKey(3), (2,) * d, rmax=4,
+                      normalise=True, orthogonal=True).astype(jnp.float32)
+    A_stack = pack_op(H, max(H.ranks))
+    x_stack = pack_tt(x0, rmax)
+    masks = rank_masks(x0.ranks, rmax, dtype=jnp.float32)
+    tol = jnp.float32(1e-8)
+
+    def sweep(xs, ms):
+        return dmrg_eig_sweep(A_stack, xs, ms, tol, tol, lanczos_iters=24,
+                              split="gram")
+
+    xs, ms, lam = sweep(x_stack, masks)
+    _sync(lam)
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        xs, ms = x_stack, masks
+        for _ in range(8):
+            xs, ms, lam = sweep(xs, ms)
+        _sync(lam)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return best / 8 * 1e3, float(np.asarray(lam)[-1])
+
+
+def bench_tdvp_step():
+    """Device number for BASELINE config 4: one jitted 1-site TDVP
+    imaginary-time step (REAL f32 path — no c128 on device) on the d=10
+    heat generator, rmax=8, chained 16 steps, one sync."""
+    import ttnx
+    from ttnx.solvers.als_scan import pack_op, pack_tt, rank_masks
+    from ttnx.solvers.tdvp_scan import tdvp1_step
+
+    d, rmax = 10, 8
+    hg = 1.0 / (2 ** d + 1)
+    A = ((0.1 / hg ** 2) * ttnx.toeplitz_to_qtto(-2.0, 1.0, 1.0, d)
+         ).astype(jnp.float32)
+    u0 = ttnx.increase_ranks(ttnx.qtt_sin(d, a=hg, b=1 - hg), rmax,
+                             noise=1e-4, key=jax.random.PRNGKey(0))
+    A_stack = pack_op(A, max(A.ranks))
+    x_stack = pack_tt(u0.astype(jnp.float32), rmax)
+    masks = rank_masks(u0.ranks, rmax, dtype=jnp.float32)
+    h = jnp.float32(1e-4)
+
+    def step(xs):
+        return tdvp1_step(A_stack, xs, masks, h, imag_real=True)
+
+    out = step(x_stack)
+    _sync(out)
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        v = x_stack
+        for _ in range(16):
+            v = step(v)
+        _sync(v)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return best / 16 * 1e3
+
+
 def bench_batched_solves():
     """Batched scan-ALS throughput (solves/s) on one chip — the
     continuous-batching workload of BASELINE's scaling metric."""
@@ -366,6 +438,28 @@ def main():
                     "batch64_solves_per_s")
         except Exception as e:
             extras["batch_scaling_error"] = str(e)[:200]
+
+    # 4b/4c. device numbers for BASELINE configs 3 (DMRG eigsweep) and 4
+    #        (TDVP imaginary-time step) — budget-gated
+    if os.environ.get("BENCH_DMRG") != "0":
+        try:
+            if over_budget(90):
+                extras["dmrg_skipped_budget"] = True
+            else:
+                ms, E = timed("dmrg", bench_dmrg_sweep)
+                extras["dmrg_sweep_d10_ms"] = round(ms, 2)
+                extras["dmrg_sweep_E"] = round(E, 6)
+        except Exception as e:
+            extras["dmrg_error"] = str(e)[:200]
+    if os.environ.get("BENCH_TDVP") != "0":
+        try:
+            if over_budget(90):
+                extras["tdvp_skipped_budget"] = True
+            else:
+                extras["tdvp1_step_d10_ms"] = round(
+                    timed("tdvp", bench_tdvp_step), 3)
+        except Exception as e:
+            extras["tdvp_error"] = str(e)[:200]
 
     # --- context extras below this line: first casualties of the budget ---
 

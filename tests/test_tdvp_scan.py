@@ -109,3 +109,22 @@ def test_lanczos_matches_dense_expm():
     b = tdvp1_scan(H, u0, [0.02], normalize=False, expm="dense")
     rel = np.linalg.norm(vec(a) - vec(b)) / np.linalg.norm(vec(b))
     assert rel < 1e-12, rel
+
+
+def test_real_dtype_imaginary_time_matches_complex():
+    """dtype=float64 imaginary-time TDVP (the TPU path — no c128 on device)
+    matches the complex128 path exactly."""
+    d = 4
+    hg = 1.0 / (2 ** d + 1)
+    A = (0.1 / hg ** 2) * toeplitz_to_qtto(-2.0, 1.0, 1.0, d)
+    u0 = qtt_sin(d, a=hg, b=1 - hg)
+    steps = [1e-3] * 4
+    cplx = tdvp1_scan(A, u0, steps, imaginary_time=True, normalize=False)
+    real = tdvp1_scan(A, u0, steps, imaginary_time=True, normalize=False,
+                      dtype=jnp.float64)
+    rel = (np.linalg.norm(vec(real) - np.real(vec(cplx)))
+           / np.linalg.norm(vec(cplx)))
+    assert rel < 1e-12, rel
+    import pytest
+    with pytest.raises(ValueError):
+        tdvp1_scan(A, u0, steps, imaginary_time=False, dtype=jnp.float64)

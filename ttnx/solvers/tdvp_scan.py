@@ -157,9 +157,9 @@ def _right_env_stack_A(x, A, mask_r):
     return jnp.concatenate([envs, init[None]], axis=0)
 
 
-@partial(jax.jit, static_argnames=("expm", "krylov_dim"))
+@partial(jax.jit, static_argnames=("expm", "krylov_dim", "imag_real"))
 def tdvp1_step(A_stack, x_stack, masks, dt, expm: str = "lanczos",
-               krylov_dim: int = 20):
+               krylov_dim: int = 20, imag_real: bool = False):
     """One symmetric 1-site TDVP sweep (L->R then R->L) for time step ``dt``
     on ``i dpsi/dt = H psi`` (pass ``dt = -1j*h_imag`` for imaginary time).
     All arrays complex; returns the updated stack.
@@ -173,8 +173,14 @@ def tdvp1_step(A_stack, x_stack, masks, dt, expm: str = "lanczos",
     Renvs = _right_env_stack_A(x_stack, A_stack, masks[1:])
     L0 = _boundary_env(R, A_stack.shape[1], dtc)
 
-    t1 = -1j * dt
-    t0 = +1j * dt
+    if imag_real:
+        # REAL imaginary-time evolution (the TPU path: no c128 on device):
+        # dt is the real step h, site evolution exp(+h K), bond exp(-h K)
+        t1 = dt
+        t0 = -dt
+    else:
+        t1 = -1j * dt
+        t0 = +1j * dt
 
     def exp1(L, Ac, Renv, m_l, m_r, t, v):
         if expm == "dense":
@@ -392,25 +398,40 @@ def tdvp2_scan(H: TTOperator, u0: TTVector, steps, imaginary_time=False,
 
 def tdvp1_scan(H: TTOperator, u0: TTVector, steps, imaginary_time=False,
                normalize=True, rmax: int | None = None, expm: str = "lanczos",
-               krylov_dim: int = 20):
+               krylov_dim: int = 20, dtype=None):
     """Driver: jitted 1-site TDVP over ``steps`` (eager normalization between
-    steps, mirroring the reference driver tdvp.jl:154-203)."""
+    steps, mirroring the reference driver tdvp.jl:154-203).
+
+    ``dtype`` defaults to complex128 (reference parity). A REAL dtype
+    (float32/float64) selects the real imaginary-time path — the TPU form
+    (no c128 on device): requires ``imaginary_time=True`` and a real
+    symmetric ``H``."""
     from ttnx.core.algebra import norm, scale
 
     x = orthogonalize(u0, 0)
     rks = x.ranks
     if rmax is None:
         rmax = max(max(rks), 2)
-    dtc = jnp.complex128
+    dtc = jnp.complex128 if dtype is None else jnp.dtype(dtype)
+    real_path = not jnp.issubdtype(dtc, jnp.complexfloating)
+    if real_path and not imaginary_time:
+        raise ValueError("real-dtype TDVP requires imaginary_time=True")
+    real_dt = jnp.zeros((), dtc).real.dtype
     A_stack = pack_op(H.astype(dtc), max(H.ranks))
-    masks = rank_masks(rks, rmax, dtype=jnp.float64)
+    masks = rank_masks(rks, rmax, dtype=real_dt)
     x_stack = pack_tt(x.astype(dtc), rmax)
     for h in np.atleast_1d(steps):
-        # imaginary time: dt_eff = +i*h makes the site evolution exp(+h*K),
-        # matching the reference driver (tdvp.jl:179)
-        dt = (1j * h) if imaginary_time else jnp.asarray(h, dtc)
-        x_stack = tdvp1_step(A_stack, x_stack, masks, jnp.asarray(dt, dtc),
-                             expm=expm, krylov_dim=krylov_dim)
+        if real_path:
+            x_stack = tdvp1_step(A_stack, x_stack, masks,
+                                 jnp.asarray(h, dtc), expm=expm,
+                                 krylov_dim=krylov_dim, imag_real=True)
+        else:
+            # imaginary time: dt_eff = +i*h makes the site evolution
+            # exp(+h*K), matching the reference driver (tdvp.jl:179)
+            dt = (1j * h) if imaginary_time else jnp.asarray(h, dtc)
+            x_stack = tdvp1_step(A_stack, x_stack, masks,
+                                 jnp.asarray(dt, dtc), expm=expm,
+                                 krylov_dim=krylov_dim)
         if normalize:
             out = unpack_tt(x_stack, rks)
             out = scale(1.0 / float(norm(out)), out)
