@@ -53,3 +53,23 @@ def test_rank_adaptation_honest():
                      truncerr=1e-12)
     assert max(out.ranks) <= 6
     assert max(out.ranks) > 2  # grew beyond the initial rank
+
+
+def test_real_dtype_gram_split_matches_complex_svd():
+    """The device form of tdvp2 (real f64 imaginary time, eigh split)
+    matches the complex SVD path."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    d = 4
+    hg = 1.0 / (2 ** d + 1)
+    A = (0.1 / hg ** 2) * toeplitz_to_qtto(-2.0, 1.0, 1.0, d)
+    u0 = qtt_sin(d, a=hg, b=1 - hg)
+    steps = [1e-3] * 4
+    ref = tdvp2_scan(A, u0, steps, imaginary_time=True, normalize=False,
+                     max_bond=8)
+    dev = tdvp2_scan(A, u0, steps, imaginary_time=True, normalize=False,
+                     max_bond=8, dtype=jnp.float64, split="gram")
+    rel = (np.linalg.norm(vec(dev) - np.real(vec(ref)))
+           / np.linalg.norm(vec(ref)))
+    assert rel < 1e-10, rel

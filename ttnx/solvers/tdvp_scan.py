@@ -277,17 +277,43 @@ def _keep_mask_tdvp(s, truncerr, max_keep, R):
     return keep.astype(s.dtype)
 
 
-@partial(jax.jit, static_argnames=("expm", "krylov_dim"))
+def _svd2_masked(Vm, method):
+    """(u, s, vt) of the merged two-site matrix; ``method='gram'`` avoids
+    the in-scan SVD the remote TPU toolchain rejects (eigh of the Gram;
+    small-singular-value rows of vt are zeroed by the pseudo-inverse
+    scaling — they are below the truncation floor anyway)."""
+    if method == "gram":
+        B = Vm @ jnp.conj(Vm).T
+        w, U = jnp.linalg.eigh(0.5 * (B + jnp.conj(B).T))
+        s = jnp.sqrt(jnp.maximum(w[::-1].real, 0.0))
+        u = U[:, ::-1]
+        svt = jnp.conj(u).T @ Vm
+        s_inv = jnp.where(s > jnp.finfo(s.dtype).eps * Vm.shape[0]
+                          * jnp.max(s), 1.0 / jnp.maximum(s, 1e-300), 0.0)
+        vt = s_inv[:, None].astype(svt.dtype) * svt
+        return u, s, vt
+    return jnp.linalg.svd(Vm, full_matrices=False)
+
+
+@partial(jax.jit, static_argnames=("expm", "krylov_dim", "imag_real",
+                                  "split"))
 def tdvp2_step(A_stack, x_stack, mask_stack, dt, truncerr, max_keep,
-               expm: str = "lanczos", krylov_dim: int = 20):
+               expm: str = "lanczos", krylov_dim: int = 20,
+               imag_real: bool = False, split: str = "svd"):
     """One 2-site TDVP sweep (L->R then R->L) with half time steps and
     dynamic rank masks (jitted analog of the eager tdvp2sweep). ``expm`` as
-    in :func:`tdvp1_step` (default matrix-free Lanczos, Hermitian H)."""
+    in :func:`tdvp1_step` (default matrix-free Lanczos, Hermitian H);
+    ``imag_real``/``split='gram'`` select the real-dtype, SVD-free device
+    forms."""
     d, R, n, _ = x_stack.shape
     dtc = x_stack.dtype
     Renvs = _right_env_stack_A(x_stack, A_stack, mask_stack[1:])
-    t2 = -1j * dt / 2
-    t1 = +1j * dt / 2
+    if imag_real:
+        t2 = dt / 2
+        t1 = -dt / 2
+    else:
+        t2 = -1j * dt / 2
+        t1 = +1j * dt / 2
     L0 = _boundary_env(R, A_stack.shape[1], dtc)
 
     def exp2(L, Ai, Aj, Renv, m_l, m_r, t, v):
@@ -307,8 +333,7 @@ def tdvp2_step(A_stack, x_stack, mask_stack, dt, truncerr, max_keep,
         core_next, Ai, Aj, Renv, m_r, is_last = inp
         AAC = jnp.einsum("asg,gtb->astb", AC, core_next)
         AAC = exp2(L, Ai, Aj, Renv, m_l, m_r, t2, AAC)
-        u, s, vt = jnp.linalg.svd(AAC.reshape(R * n, n * R),
-                                  full_matrices=False)
+        u, s, vt = _svd2_masked(AAC.reshape(R * n, n * R), split)
         keep = _keep_mask_tdvp(jnp.abs(s[:R]), truncerr, max_keep, R)
         core = (u[:, :R] * keep[None, :]).reshape(R, n, R)
         AC_new = ((s[:R, None] * vt[:R, :]) * keep[:, None]).reshape(R, n, R)
@@ -338,8 +363,7 @@ def tdvp2_step(A_stack, x_stack, mask_stack, dt, truncerr, max_keep,
         core_prev, Ai, Aj, Lenv, m_l, is_first = inp
         AAC = jnp.einsum("asg,gtb->astb", core_prev, AC)
         AAC = exp2(Lenv, Ai, Aj, Renv, m_l, m_r, t2, AAC)
-        u, s, vt = jnp.linalg.svd(AAC.reshape(R * n, n * R),
-                                  full_matrices=False)
+        u, s, vt = _svd2_masked(AAC.reshape(R * n, n * R), split)
         keep = _keep_mask_tdvp(jnp.abs(s[:R]), truncerr, max_keep, R)
         core = (vt[:R, :] * keep[:, None]).reshape(R, n, R)
         AC_new = ((u[:, :R] * s[None, :R]) * keep[None, :]).reshape(R, n, R)
@@ -362,8 +386,11 @@ def tdvp2_step(A_stack, x_stack, mask_stack, dt, truncerr, max_keep,
 def tdvp2_scan(H: TTOperator, u0: TTVector, steps, imaginary_time=False,
                normalize=True, rmax: int | None = None, truncerr: float = 0.0,
                max_bond: int | None = None, expm: str = "lanczos",
-               krylov_dim: int = 20):
-    """Jitted 2-site TDVP driver with dynamic rank masks."""
+               krylov_dim: int = 20, dtype=None, split: str = "svd"):
+    """Jitted 2-site TDVP driver with dynamic rank masks. A REAL ``dtype``
+    selects the real imaginary-time device path (requires
+    ``imaginary_time=True``); ``split='gram'`` replaces the in-scan SVD
+    with the eigh form (remote-TPU safe)."""
     from ttnx.core.algebra import norm, scale
 
     x = orthogonalize(u0, 0)
@@ -371,21 +398,32 @@ def tdvp2_scan(H: TTOperator, u0: TTVector, steps, imaginary_time=False,
         rmax = max(2 * max(x.ranks), 4)
     if max_bond is None:
         max_bond = rmax
-    dtc = jnp.complex128
+    dtc = jnp.complex128 if dtype is None else jnp.dtype(dtype)
+    real_path = not jnp.issubdtype(dtc, jnp.complexfloating)
+    if real_path and not imaginary_time:
+        raise ValueError("real-dtype TDVP2 requires imaginary_time=True")
+    real_dt = jnp.zeros((), dtc).real.dtype
     A_stack = pack_op(H.astype(dtc), max(H.ranks))
     x_stack = pack_tt(x.astype(dtc), rmax)
     d = x.N
     mask_np = np.zeros((d + 1, rmax))
     for i, r in enumerate(x.ranks):
         mask_np[i, :r] = 1.0
-    masks = jnp.asarray(mask_np, dtype=jnp.float64)
-    te = jnp.asarray(truncerr, jnp.float64)
+    masks = jnp.asarray(mask_np, dtype=real_dt)
+    te = jnp.asarray(truncerr, real_dt)
     mk = jnp.asarray(min(max_bond, rmax), jnp.int32)
     for h in np.atleast_1d(steps):
-        dt = (1j * h) if imaginary_time else jnp.asarray(h, dtc)
-        x_stack, masks = tdvp2_step(A_stack, x_stack, masks,
-                                    jnp.asarray(dt, dtc), te, mk,
-                                    expm=expm, krylov_dim=krylov_dim)
+        if real_path:
+            x_stack, masks = tdvp2_step(A_stack, x_stack, masks,
+                                        jnp.asarray(h, dtc), te, mk,
+                                        expm=expm, krylov_dim=krylov_dim,
+                                        imag_real=True, split=split)
+        else:
+            dt = (1j * h) if imaginary_time else jnp.asarray(h, dtc)
+            x_stack, masks = tdvp2_step(A_stack, x_stack, masks,
+                                        jnp.asarray(dt, dtc), te, mk,
+                                        expm=expm, krylov_dim=krylov_dim,
+                                        split=split)
         if normalize:
             rks = [int(v) for v in np.asarray(jnp.sum(jnp.real(masks),
                                                       axis=1))]
