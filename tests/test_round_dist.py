@@ -114,7 +114,7 @@ class TestGramChainDist:
     """Distributed Gram-chain rounding (the Amdahl-free tp formulation):
     parity with the single-device tt_round_gram on the virtual mesh."""
 
-    def _chain(self, d=6, rmax=4):
+    def _chain(self, d=5, rmax=3):
         from ttnx import id_tto, qtt_sin, toeplitz_to_qtto
         from ttnx.core.algebra import add_op, scale_op
         from ttnx.core.canonical import orthogonalize

@@ -65,7 +65,7 @@ def test_real_dtype_gram_split_matches_complex_svd():
     hg = 1.0 / (2 ** d + 1)
     A = (0.1 / hg ** 2) * toeplitz_to_qtto(-2.0, 1.0, 1.0, d)
     u0 = qtt_sin(d, a=hg, b=1 - hg)
-    steps = [1e-3] * 4
+    steps = [1e-3] * 2
     ref = tdvp2_scan(A, u0, steps, imaginary_time=True, normalize=False,
                      max_bond=8)
     dev = tdvp2_scan(A, u0, steps, imaginary_time=True, normalize=False,
