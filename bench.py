@@ -240,28 +240,40 @@ def bench_dmrg_sweep():
 def bench_tdvp_step():
     """Device number for BASELINE config 4: one jitted 1-site TDVP
     imaginary-time step (REAL f32 path — no c128 on device) on the d=10
-    heat generator, rmax=8, chained 16 steps, one sync."""
+    heat generator, rmax=8, chained 16 steps, one sync. h chosen inside the
+    f32 stability region (h*lambda_max = 4.2; the symmetric TDVP splitting
+    destroys information once e^{-h*lambda_max} drops below f32 eps — see
+    tdvp_scan docs); the 16-step evolution is checked against the analytic
+    eigenmode decay and the timing is rejected on inaccuracy."""
     import ttnx
-    from ttnx.solvers.als_scan import pack_op, pack_tt, rank_masks
+    from ttnx.core.decomp import ttv_to_tensor
+    from ttnx.solvers.als_scan import pack_op, pack_tt, rank_masks, unpack_tt
     from ttnx.solvers.tdvp_scan import tdvp1_step
 
     d, rmax = 10, 8
     hg = 1.0 / (2 ** d + 1)
     A = ((0.1 / hg ** 2) * ttnx.toeplitz_to_qtto(-2.0, 1.0, 1.0, d)
          ).astype(jnp.float32)
-    u0 = ttnx.increase_ranks(ttnx.qtt_sin(d, a=hg, b=1 - hg), rmax,
-                             noise=1e-4, key=jax.random.PRNGKey(0))
+    u0 = ttnx.qtt_sin(d, a=hg, b=1 - hg)
     A_stack = pack_op(A, max(A.ranks))
     x_stack = pack_tt(u0.astype(jnp.float32), rmax)
-    masks = rank_masks(u0.ranks, rmax, dtype=jnp.float32)
-    h = jnp.float32(1e-4)
+    masks = rank_masks(ttnx.core.tt.r_and_d_to_rks(
+        u0.ranks, (2,) * d, rmax=rmax), rmax, dtype=jnp.float32)
+    h_step = 1e-5
+    h = jnp.float32(h_step)
 
     def step(xs):
-        return tdvp1_step(A_stack, xs, masks, h, imag_real=True)
+        # TPU f32 dots default to single-pass bf16 inputs (eps ~8e-3) —
+        # the e^{-h*lambda} decayed modes fall below that and the bond
+        # re-amplification manufactures NaNs; 'highest' restores the f32
+        # stability region (same finding as the CN step's 225x residual)
+        with jax.default_matmul_precision("highest"):
+            return tdvp1_step(A_stack, xs, masks, h, imag_real=True)
 
     out = step(x_stack)
     _sync(out)
     best = None
+    v = None
     for _ in range(3):
         t0 = time.perf_counter()
         v = x_stack
@@ -270,6 +282,14 @@ def bench_tdvp_step():
         _sync(v)
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
+    lam1 = 0.1 * (2 - 2 * np.cos(np.pi * hg)) / hg ** 2
+    got = np.asarray(ttv_to_tensor(unpack_tt(np.asarray(v),
+                                             u0.ranks))).reshape(-1)
+    expect = (np.asarray(ttv_to_tensor(u0)).reshape(-1)
+              * np.exp(-lam1 * 16 * h_step))
+    rel = np.linalg.norm(got - expect) / np.linalg.norm(expect)
+    if not np.isfinite(rel) or rel > 1e-3:
+        raise RuntimeError(f"tdvp evolution inaccurate: rel={rel}")
     return best / 16 * 1e3
 
 
