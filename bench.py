@@ -104,13 +104,15 @@ def bench_pallas_chain():
     (ttnx.kernels.contraction.merge_resplit_chain): VMEM-resident
     intermediates instead of per-op HBM round trips.
 
-    Measured on the v5e chip 2026-08-19: 81.0 TFLOP/s sustained (41% of
-    bf16 peak) at block_b=32, unroll=4, iters=2048. Short chains understate
-    the kernel: each host sync costs a ~25 ms RPC round trip on the axon
-    tunnel, so the chain must run long enough to amortize it (128 iters
-    measured 35.4 TFLOP/s for the same kernel). block_b=64 exceeds VMEM and
-    is rejected by the remote Mosaic compile. The XLA fori_loop path
-    sustains ~28 TFLOP/s."""
+    Autotuned 2026-08-21 (scripts/probe_pallas_autotune.py, 12-config
+    sweep): block_b=8, unroll=64 sustains 91.3 TFLOP/s — +14% over
+    round-2's block_b=32/unroll=4 (79.6 in the same session); the optimum
+    trades VMEM residency for deeper static unrolling (smaller batch tiles,
+    more iterations in flight). block_b=48/64 exceed VMEM and SIGABRT the
+    remote Mosaic compile; b4 and u256 fall off the optimum. Short chains
+    understate the kernel: each host sync costs a ~25 ms RPC round trip on
+    the axon tunnel, so the chain must run long enough to amortize it. The
+    XLA fori_loop path sustains ~38 TFLOP/s."""
     from ttnx.kernels.contraction import merge_resplit_chain
 
     r, n, batch, iters = 64, 2, 4096, 2048
@@ -122,7 +124,7 @@ def bench_pallas_chain():
     w = jnp.asarray(np.linalg.qr(rng.standard_normal((batch, n * r, r)))[0],
                     dtype=jnp.bfloat16)
     fn = lambda a, b, w: merge_resplit_chain(a, b, w, iters=iters,
-                                             block_b=32, unroll=4)
+                                             block_b=8, unroll=64)
     dt_total = _time_fn(fn, a, b, w, warmup=1, iters=2)
     flops = 2 * (2.0 * batch * (r * n) * r * (n * r)) * iters
     return flops / dt_total / 1e9

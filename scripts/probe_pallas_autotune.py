@@ -38,8 +38,8 @@ def main():
                     dtype=jnp.bfloat16)
     flops = 2 * (2.0 * batch * (r * n) * r * (n * r)) * iters
     res = {}
-    for block_b in (16, 32, 48):
-        for unroll in (4, 8, 16):
+    for block_b in (4, 8):
+        for unroll in (64, 128, 256):
             key = f"b{block_b}_u{unroll}"
             try:
                 fn = lambda: merge_resplit_chain(a, b, w, iters=iters,
