@@ -314,3 +314,26 @@ def test_dmrg_eigsolve_scan_fused_heisenberg():
                                 eig_solver="lanczos_fused")
     w = np.linalg.eigvalsh(np.asarray(ttnx.qtto_to_matrix(H)))
     assert abs(float(E[-1]) - w[0]) < 1e-7, (float(E[-1]), w[0])
+
+
+def test_merge_resplit_chain_autotuned_config(rng):
+    """The autotuned production config (block_b=8, unroll=64 — the bench
+    headline) stays numerically correct in interpret mode."""
+    from ttnx.kernels.contraction import merge_resplit_chain
+
+    B, r, n = 8, 8, 2
+    a = jnp.asarray(0.1 * rng.standard_normal((B, r * n, r)),
+                    dtype=jnp.float32)
+    b = jnp.asarray(np.swapaxes(
+        np.linalg.qr(rng.standard_normal((B, n * r, r)))[0], 1, 2),
+        dtype=jnp.float32)
+    w = jnp.asarray(np.linalg.qr(rng.standard_normal((B, n * r, r)))[0],
+                    dtype=jnp.float32)
+    out = merge_resplit_chain(a, b, w, iters=64, block_b=8, interpret=True,
+                              unroll=64)
+    acc = np.asarray(a)
+    bn, wn = np.asarray(b), np.asarray(w)
+    for _ in range(64):
+        c = np.einsum("bmk,bkn->bmn", acc, bn)
+        acc = np.einsum("bmn,bnk->bmk", c, wn).astype(np.float32)
+    assert np.allclose(np.asarray(out), acc, atol=1e-3)
