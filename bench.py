@@ -6,13 +6,28 @@ Prints ONE JSON line:
 
 Primary metric (BASELINE.json): rank-64 core-contraction GFLOP/s per chip,
 measured on the batched two-site TT contraction (the MPO*MPS/ALS hot kernel
-shape) in bfloat16 with f32 accumulation. ``vs_baseline`` is the fraction of
-the 70%-of-roofline target, where the roofline is HALF the MEASURED
-full-MXU Pallas matmul chain (bench_pallas_matmul_ceiling, same harness and
-batch as the headline kernel) — the K=64 occupancy factor applied to a
-measured ceiling instead of the nominal 197 TF/s constant. 1.0 == target.
-Continuity extras report the analytic peak/2 bound and the full-hw-peak
-denominators too.
+shape) in bfloat16 with f32 accumulation.
+
+``vs_baseline`` denominator (fixed per VERDICT r3 weak #1): the headline
+merge+re-split chain alternates K=64 matmuls (the merge — a K=64 operand
+occupies half the 128-wide MXU) with K=128 matmuls (the re-split — full
+occupancy), in equal FLOP halves. The honest shape bound is therefore the
+HARMONIC MEAN of the two ceilings::
+
+    shape_ceiling = 2 / (1/(C/2) + 1/C) = (2/3) * C
+
+with ``C`` the MEASURED full-MXU chain (bench_pallas_matmul_ceiling).
+``vs_baseline = gflops / (0.70 * shape_ceiling)``; 1.0 == target, and no
+reported fraction can exceed 1. The old K=64-only denominator (``C/2``) and
+the analytic/hw-peak denominators are kept as continuity extras.
+
+Production-path sections (VERDICT r3 #1): ``cn_step_d12_r{32,64}`` time the
+REAL flagship CN pipeline at the BASELINE metric's rank with FLOP-counted
+GFLOP/s (ttnx.utils.flops — padded-shape contraction FLOPs, factorizations
+excluded), accuracy-gated; ``batched_als_r64`` is the batched production
+solve whose throughput is compared against the f32-HIGHEST measured ceiling
+(the precision class the production pipeline must run for accuracy — bf16
+fractions would overstate the gap).
 """
 
 import json
@@ -172,9 +187,29 @@ def bench_pallas_matmul_ceiling():
 
     dt_sq = _time_fn(chain_sq, xs, ws, warmup=1, iters=2)
     xla_sq = 2.0 * n_sq ** 3 * 256 / dt_sq / 1e9
+
+    # f32 precision=HIGHEST ceiling: the precision class every production
+    # pipeline runs (bf16 single-pass f32 dots cost ~4e-3 relative per
+    # contraction — fails the accuracy gates). The production-path
+    # fractions are reported against THIS number, not the bf16 chain.
+    n_h = 2048
+    xh = jnp.asarray(rng.standard_normal((n_h, n_h)) * 0.02, jnp.float32)
+    wh = jnp.asarray(np.linalg.qr(rng.standard_normal((n_h, n_h)))[0],
+                     jnp.float32)
+
+    @jax.jit
+    def chain_f32h(x, w):
+        with jax.default_matmul_precision("highest"):
+            def body(_, acc):
+                return acc @ w
+            return jax.lax.fori_loop(0, 256, body, x)
+
+    dt_h = _time_fn(chain_f32h, xh, wh, warmup=1, iters=2)
+    f32h = 2.0 * n_h ** 3 * 256 / dt_h / 1e9
     return max(pallas128, xla_sq), {
         "pallas_matmul128_chain_gflops": round(pallas128, 1),
         "xla_square_chain_gflops": round(xla_sq, 1),
+        "f32_highest_ceiling_gflops": round(f32h, 1),
     }
 
 
@@ -203,11 +238,35 @@ def bench_matmul_roofline():
     return 2.0 * batch * m * k * k * iters / dt / 1e9
 
 
+def _dense_xxx_groundstate(d: int) -> float:
+    """Independent numpy oracle: ground energy of the open XXX chain in the
+    Pauli convention (sum of sx.sx + sy.sy + sz.sz over bonds), built by
+    Kronecker products — no ttnx code involved (reference cross-check
+    pattern: /root/reference/examples/heisenberg_xyz_dmrg.jl:16-22)."""
+    sx = np.array([[0.0, 1.0], [1.0, 0.0]])
+    sy_i = np.array([[0.0, -1.0], [1.0, 0.0]])  # sy = i * sy_i
+    sz = np.diag([1.0, -1.0])
+    H = np.zeros((2 ** d, 2 ** d))
+    for i in range(d - 1):
+        for P, sgn in ((sx, 1.0), (sy_i, -1.0), (sz, 1.0)):
+            op = np.array([[1.0]])
+            for j in range(d):
+                op = np.kron(op, P if j in (i, i + 1) else np.eye(2))
+            H += sgn * op  # (i*sy_i)(x)(i*sy_i) = -(sy_i x sy_i)
+    return float(np.linalg.eigvalsh(H)[0])
+
+
 def bench_dmrg_sweep():
     """Device number for BASELINE config 3: one full jitted two-site DMRG
     eigsweep on the Heisenberg XXX chain, d=10 f32 rmax=16 (gram split —
-    SVD-in-scan SIGABRTs the remote toolchain), chained 8 sweeps, one
-    sync."""
+    SVD-in-scan SIGABRTs the remote toolchain), chained 8 sweeps, one sync.
+
+    precision='highest': without it the bf16 single-pass f32 dots put the
+    converged energy 0.08 (0.5%) off the dense oracle — caught by the gate
+    this section now carries (VERDICT r3 weak #3; the f64 CPU run at the
+    same rmax=16 reaches |E - E0| = 1.1e-8, so the error was precision, not
+    truncation). The timing is REJECTED if the energy misses the
+    independently-built dense-diagonalization oracle by >1e-3 relative."""
     import ttnx
     from ttnx.solvers.als_scan import pack_op, pack_tt, rank_masks
     from ttnx.solvers.dmrg_scan import dmrg_eig_sweep
@@ -222,8 +281,9 @@ def bench_dmrg_sweep():
     tol = jnp.float32(1e-8)
 
     def sweep(xs, ms):
-        return dmrg_eig_sweep(A_stack, xs, ms, tol, tol, lanczos_iters=24,
-                              split="gram")
+        with jax.default_matmul_precision("highest"):
+            return dmrg_eig_sweep(A_stack, xs, ms, tol, tol,
+                                  lanczos_iters=24, split="gram")
 
     xs, ms, lam = sweep(x_stack, masks)
     _sync(lam)
@@ -236,7 +296,13 @@ def bench_dmrg_sweep():
         _sync(lam)
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
-    return best / 8 * 1e3, float(np.asarray(lam)[-1])
+    E = float(np.asarray(lam)[-1])
+    E0 = _dense_xxx_groundstate(d)
+    rel = abs(E - E0) / abs(E0)
+    if not np.isfinite(E) or rel > 1e-3:
+        raise RuntimeError(
+            f"dmrg energy inaccurate: E={E} vs dense E0={E0} (rel {rel:.2e})")
+    return best / 8 * 1e3, E, E0
 
 
 def bench_tdvp_step():
@@ -258,7 +324,11 @@ def bench_tdvp_step():
          ).astype(jnp.float32)
     u0 = ttnx.qtt_sin(d, a=hg, b=1 - hg)
     A_stack = pack_op(A, max(A.ranks))
-    x_stack = pack_tt(u0.astype(jnp.float32), rmax)
+    # TDVP step contract: state packed in site-0 canonical form (the
+    # un-orthogonalized pack cost 3.7e-4 of the round-3 gate budget)
+    from ttnx.core.canonical import orthogonalize
+
+    x_stack = pack_tt(orthogonalize(u0.astype(jnp.float32), 0), rmax)
     masks = rank_masks(ttnx.core.tt.r_and_d_to_rks(
         u0.ranks, (2,) * d, rmax=rmax), rmax, dtype=jnp.float32)
     h_step = 1e-5
@@ -295,6 +365,63 @@ def bench_tdvp_step():
     return best / 16 * 1e3
 
 
+def bench_tdvp2_step():
+    """Device number for the 2-site half of BASELINE config 4 (VERDICT r3
+    #3; reference: /root/reference/src/solvers/tdvp.jl:210-357): one jitted
+    rank-adaptive tdvp2 imaginary-time step (real f32, gram split), d=10
+    rmax=8, chained 8 steps one sync, accuracy-gated against the analytic
+    eigenmode decay."""
+    import ttnx
+    from ttnx.core.canonical import orthogonalize
+    from ttnx.core.decomp import ttv_to_tensor
+    from ttnx.solvers.als_scan import pack_op, pack_tt, unpack_tt
+    from ttnx.solvers.tdvp_scan import tdvp2_step
+
+    d, rmax = 10, 8
+    hg = 1.0 / (2 ** d + 1)
+    h_step = 1e-5
+    A = ((0.1 / hg ** 2) * ttnx.toeplitz_to_qtto(-2.0, 1.0, 1.0, d)
+         ).astype(jnp.float32)
+    u0 = ttnx.qtt_sin(d, a=hg, b=1 - hg)
+    A_stack = pack_op(A, max(A.ranks))
+    x_stack = pack_tt(orthogonalize(u0.astype(jnp.float32), 0), rmax)
+    mask_np = np.zeros((d + 1, rmax), np.float32)
+    for i, r in enumerate(u0.ranks):
+        mask_np[i, :r] = 1.0
+    masks = jnp.asarray(mask_np)
+    h = jnp.float32(h_step)
+    te = jnp.float32(0.0)
+    mk = jnp.int32(rmax)
+
+    def step(xs, ms):
+        with jax.default_matmul_precision("highest"):
+            return tdvp2_step(A_stack, xs, ms, h, te, mk, imag_real=True,
+                              split="gram")
+
+    xs, ms = step(x_stack, masks)
+    _sync(xs)
+    n = 8
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        xs, ms = x_stack, masks
+        for _ in range(n):
+            xs, ms = step(xs, ms)
+        _sync(xs)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    lam1 = 0.1 * (2 - 2 * np.cos(np.pi * hg)) / hg ** 2
+    rks = tuple(int(v) for v in np.asarray(ms).sum(axis=1))
+    got = np.asarray(ttv_to_tensor(unpack_tt(np.asarray(xs), rks))
+                     ).reshape(-1)
+    expect = (np.asarray(ttv_to_tensor(u0)).reshape(-1)
+              * np.exp(-lam1 * n * h_step))
+    rel = np.linalg.norm(got - expect) / np.linalg.norm(expect)
+    if not np.isfinite(rel) or rel > 1e-3:
+        raise RuntimeError(f"tdvp2 evolution inaccurate: rel={rel}")
+    return best / n * 1e3
+
+
 def bench_batched_solves():
     """Batched scan-ALS throughput (solves/s) on one chip — the
     continuous-batching workload of BASELINE's scaling metric."""
@@ -313,9 +440,11 @@ def bench_batched_solves():
 
 def bench_batch_scaling():
     """Batch-size throughput scaling of the batched scan-ALS on the one real
-    chip: solves/s at batch 64/256. Perfectly batched independent solves
-    are the dp-parallel workload collapsed onto one device, so flat
-    solves-per-s-per-problem here plus the virtual-mesh dp measurement
+    chip: solves/s AND ms-per-solve at batch 16/64/256/1024 (the 4-point
+    saturation curve VERDICT r3 weak #4 asked for). Perfectly batched
+    independent solves are the dp-parallel workload collapsed onto one
+    device, so the shape of this curve (where per-solve time stops being
+    flat = where the chip saturates) plus the virtual-mesh dp measurement
     (scripts/bench_scaling.py) are the two measurable halves of BASELINE's
     multi-host scaling target (no second chip is reachable)."""
     import __graft_entry__
@@ -324,13 +453,14 @@ def bench_batch_scaling():
     A_stack, b_stack, x_stack, masks = __graft_entry__._heat_problem(
         d=10, rmax=8, dtype=jnp.float32)
     out = {}
-    for batch in (64, 256):
+    for batch in (16, 64, 256, 1024):
         b_batch = jnp.broadcast_to(b_stack, (batch,) + b_stack.shape)
         x_batch = jnp.broadcast_to(x_stack, (batch,) + x_stack.shape)
         fn = jax.jit(
             lambda bb, xb: batched_als_sweeps(A_stack, bb, xb, masks, 2))
         dt = _time_fn(fn, b_batch, x_batch, warmup=1, iters=3)
         out[f"batch{batch}_solves_per_s"] = round(batch / dt, 2)
+        out[f"batch{batch}_ms_per_solve"] = round(dt / batch * 1e3, 4)
     return out
 
 
@@ -376,6 +506,170 @@ def bench_cn_step_d12():
         _sync(v)
         ts.append(time.perf_counter() - t0)
     return min(ts) / n * 1e3  # ms per step
+
+
+def _three_mode_state(d, hg):
+    """Multi-mode Dirichlet eigenstate on the interior grid (rank 6): the
+    qtt_sin grid nodes are exactly j*hg, so each term is an exact
+    eigenvector of the tridiagonal Laplacian — the whole CN evolution has a
+    closed form to gate against."""
+    import ttnx
+
+    return (ttnx.qtt_sin(d, a=hg, b=1 - hg, lam=1.0)
+            + 0.5 * ttnx.qtt_sin(d, a=hg, b=1 - hg, lam=3.0)
+            + 0.25 * ttnx.qtt_sin(d, a=hg, b=1 - hg, lam=9.0))
+
+
+def _cn_analytic(d, hg, h_step, steps):
+    j = np.arange(1, 2 ** d + 1)
+    out = np.zeros(2 ** d)
+    for k, amp in ((1, 1.0), (3, 0.5), (9, 0.25)):
+        mu = (2 - 2 * np.cos(k * np.pi * hg)) / hg ** 2
+        rho = (1 - h_step / 2 * mu) / (1 + h_step / 2 * mu)
+        out += amp * rho ** steps * np.sin(k * np.pi * j * hg)
+    return out
+
+
+def _cn_residual(u_next, u_prev, hg, h_step):
+    """Implicit-solve residual ||L u+ - R u|| / ||R u|| with the exact
+    tridiagonal operators in f64 numpy — gates the ALS solve itself."""
+    c = h_step / (2 * hg ** 2)
+
+    def T(v):
+        out = 2 * v
+        out[:-1] -= v[1:]
+        out[1:] -= v[:-1]
+        return out
+
+    lhs = u_next + c * T(u_next.copy())
+    rhs = u_prev - c * T(u_prev.copy())
+    return float(np.linalg.norm(lhs - rhs) / np.linalg.norm(rhs))
+
+
+def bench_cn_rank(rmax: int):
+    """BASELINE's primary metric on the PRODUCTION pipeline (VERDICT r3
+    #1): the flagship make_cn_step (padded MPO apply + fused Gram-chain
+    rounding + Pallas/matrix-free ALS-CG) at d=12 and the metric's rank
+    class, h=1e-6 (a genuinely stiff solve: cond(lhs) ~ 34), chained 8
+    steps one sync. Accuracy-gated TWICE: the 8-step trajectory against the
+    closed-form CN evolution of a 3-mode eigenstate, and the last step's
+    implicit-solve residual against the exact tridiagonal operators.
+    Returns (ms/step, executed GFLOP/s, gate values)."""
+    import ttnx
+    from ttnx.core.decomp import ttv_to_tensor
+    from ttnx.core.tt import r_and_d_to_rks
+    from ttnx.solvers.als_scan import unpack_tt
+    from ttnx.solvers.round_scan import make_cn_step
+    from ttnx.utils.flops import cn_step_flops
+
+    d = 12
+    hg = 1.0 / (2 ** d + 1)
+    h_step = 1e-6
+    n = 8
+    A = (-1.0 / hg ** 2) * ttnx.toeplitz_to_qtto(2.0, -1.0, -1.0, d)
+    u_rks = (1,) + (rmax,) * (d - 1) + (1,)
+    step_fn, pack, _ = make_cn_step(
+        A, h_step, rmax=rmax, dims=(2,) * d, u_rks=u_rks, dtype=jnp.float32,
+        sweep_count=2, solver="cg_fused", round_method="gram_chain",
+        precision="highest", cg_iters=32)
+    us = pack(_three_mode_state(d, hg))
+    v = step_fn(us)
+    _sync(v)
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        v = us
+        for _ in range(n):
+            v = step_fn(v)
+        _sync(v)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    ms = best / n * 1e3
+    rks = r_and_d_to_rks(u_rks, (2,) * d, rmax=rmax)
+    v7 = us
+    for _ in range(n - 1):
+        v7 = step_fn(v7)
+    v8 = step_fn(v7)
+
+    def dense(stack):
+        return np.asarray(ttv_to_tensor(unpack_tt(np.asarray(stack), rks))
+                          ).reshape(-1).astype(np.float64)
+
+    d7, d8 = dense(v7), dense(v8)
+    exact = _cn_analytic(d, hg, h_step, n)
+    rel = float(np.linalg.norm(d8 - exact) / np.linalg.norm(exact))
+    res = _cn_residual(d8, d7, hg, h_step)
+    if not np.isfinite(rel) or rel > 1e-3 or res > 1e-2:
+        raise RuntimeError(
+            f"cn r{rmax} inaccurate: rel={rel:.2e} residual={res:.2e}")
+    flops = cn_step_flops(d, rmax, 4, 4, cg_iters=32)
+    return ms, flops / (ms / 1e3) / 1e9, rel, res
+
+
+def bench_batched_als_r64(batch: int = 256):
+    """Batched PRODUCTION ALS at the BASELINE metric's rank 64: `vmap` of
+    the full scan-ALS solve (d=12, matrix-free CG-32, f32
+    precision=HIGHEST) over `batch` independent problems — the continuous-
+    batching workload that actually fills the MXU at rank 64 (the
+    single-problem step is latency-bound: a d=12 chain exposes ~9 GFLOP
+    per step across 24 serialized site solves). Accuracy-gated by the
+    implicit-solve residual of one batch element. Returns (solves/s,
+    executed GFLOP/s, residual)."""
+    import ttnx
+    from ttnx.core.algebra import add_op, scale_op
+    from ttnx.core.canonical import tt_round
+    from ttnx.core.decomp import ttv_to_tensor
+    from ttnx.core.tt import id_tto, r_and_d_to_rks
+    from ttnx.solvers.als_scan import (als_sweeps, pack_op, pack_tt,
+                                       rank_masks, unpack_tt)
+    from ttnx.utils.flops import als_sweeps_flops
+
+    d, rmax = 12, 64
+    hg = 1.0 / (2 ** d + 1)
+    h_step = 1e-6
+    A = ((-1.0 / hg ** 2) * ttnx.toeplitz_to_qtto(2.0, -1.0, -1.0, d)
+         ).astype(jnp.float32)
+    lhs = add_op(id_tto(d, dtype=jnp.float32),
+                 scale_op(-h_step / 2, A))
+    lhs_stack = pack_op(lhs, max(lhs.ranks))
+    u_rks = r_and_d_to_rks((1,) + (rmax,) * (d - 1) + (1,), (2,) * d,
+                           rmax=rmax)
+    masks = rank_masks(u_rks, rmax, dtype=jnp.float32)
+    u0 = _three_mode_state(d, hg)
+    us = pack_tt(tt_round(u0, max_bond=rmax).astype(jnp.float32), rmax)
+    b_batch = jnp.broadcast_to(us, (batch,) + us.shape)
+    x_batch = b_batch
+
+    @jax.jit
+    def bfn(bb, xb):
+        with jax.default_matmul_precision("highest"):
+            return jax.vmap(
+                lambda b, x: als_sweeps(lhs_stack, b, x, masks, 2,
+                                        solver="cg_fused",
+                                        cg_iters=32))(bb, xb)
+
+    out = bfn(b_batch, x_batch)
+    _sync(out)
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(3):
+            out = bfn(b_batch, x_batch)
+            _sync(out)
+        best = min(best or 9e9, (time.perf_counter() - t0) / 3)
+    # gate: element 0 must solve (I - h/2 A) x = u0 against the exact
+    # tridiagonal operator
+    x0 = np.asarray(ttv_to_tensor(unpack_tt(np.asarray(out[0]), u_rks))
+                    ).reshape(-1).astype(np.float64)
+    u0d = np.asarray(ttv_to_tensor(u0)).reshape(-1)
+    c = h_step / (2 * hg ** 2)
+    lhs_x = x0 + c * (2 * x0 - np.pad(x0[1:], (0, 1))
+                      - np.pad(x0[:-1], (1, 0)))
+    res = float(np.linalg.norm(lhs_x - u0d) / np.linalg.norm(u0d))
+    if not np.isfinite(res) or res > 1e-2:
+        raise RuntimeError(f"batched r64 ALS inaccurate: residual={res}")
+    fa = als_sweeps_flops(d, rmax, 4, rmax, cg_iters=32)
+    return batch / best, batch * fa / best / 1e9, res
 
 
 def bench_als_sweep_d12():
@@ -437,15 +731,36 @@ def main():
         except Exception as e:
             extras["cn_step_error"] = str(e)[:200]
 
-    # 3. MEASURED full-MXU chain -> the vs_baseline denominator (x the K=64
-    #    occupancy factor 1/2). Must-run (it defines the primary metric).
+    # 3. MEASURED full-MXU chain -> the vs_baseline denominator (x the 2/3
+    #    harmonic-mean shape factor). Must-run (it defines the primary
+    #    metric) and also measures the f32-HIGHEST ceiling the production
+    #    fractions are reported against.
     ceiling_full = None
+    ceil_extras = {}
     try:
         ceiling_full, ceil_extras = timed("ceiling",
                                           bench_pallas_matmul_ceiling)
         extras.update(ceil_extras)
     except Exception as e:
         extras["ceiling_error"] = str(e)[:200]
+
+    # 3b. PRODUCTION pipeline at the metric's rank (VERDICT r3 #1):
+    #     must-run class — only a hard budget overrun skips it.
+    for rmax_p in (64, 32):
+        if os.environ.get("BENCH_CN_RANK") == "0":
+            break
+        try:
+            if over_budget(0):
+                extras[f"cn_r{rmax_p}_skipped_budget"] = True
+                continue
+            ms_p, gf_p, rel_p, res_p = timed(
+                f"cn_r{rmax_p}", lambda r=rmax_p: bench_cn_rank(r))
+            extras[f"cn_step_d12_r{rmax_p}_ms"] = round(ms_p, 3)
+            extras[f"cn_step_d12_r{rmax_p}_gflops"] = round(gf_p, 1)
+            extras[f"cn_r{rmax_p}_rel_vs_analytic"] = float(f"{rel_p:.2e}")
+            extras[f"cn_r{rmax_p}_solve_residual"] = float(f"{res_p:.2e}")
+        except Exception as e:
+            extras[f"cn_r{rmax_p}_error"] = str(e)[:200]
 
     # 4. batch-size throughput scaling (single-chip proxy for the multi-host
     #    solves/s target); batch 64 doubles as the batched_solves number
@@ -461,16 +776,36 @@ def main():
         except Exception as e:
             extras["batch_scaling_error"] = str(e)[:200]
 
+    # 4a. batched production ALS at rank 64 — the throughput half of the
+    #     production rank-64 story (the single-problem step is latency-
+    #     bound; this is the workload that fills the MXU)
+    if os.environ.get("BENCH_BALS64") != "0":
+        try:
+            if over_budget(60):
+                extras["batched_als_r64_skipped_budget"] = True
+            else:
+                sps, gf_b, res_b = timed("batched_als_r64",
+                                         bench_batched_als_r64)
+                extras["batched_als_r64_solves_per_s"] = round(sps, 2)
+                extras["batched_als_r64_gflops"] = round(gf_b, 1)
+                extras["batched_als_r64_residual"] = float(f"{res_b:.2e}")
+        except Exception as e:
+            extras["batched_als_r64_error"] = str(e)[:200]
+
     # 4b/4c. device numbers for BASELINE configs 3 (DMRG eigsweep) and 4
-    #        (TDVP imaginary-time step) — budget-gated
+    #        (TDVP imaginary-time steps, 1-site AND 2-site) — budget-gated,
+    #        all accuracy-gated against oracles
     if os.environ.get("BENCH_DMRG") != "0":
         try:
             if over_budget(90):
                 extras["dmrg_skipped_budget"] = True
             else:
-                ms, E = timed("dmrg", bench_dmrg_sweep)
+                ms, E, E0 = timed("dmrg", bench_dmrg_sweep)
                 extras["dmrg_sweep_d10_ms"] = round(ms, 2)
                 extras["dmrg_sweep_E"] = round(E, 6)
+                extras["dmrg_dense_E0"] = round(E0, 6)
+                extras["dmrg_E_rel_err"] = float(
+                    f"{abs(E - E0) / abs(E0):.2e}")
         except Exception as e:
             extras["dmrg_error"] = str(e)[:200]
     if os.environ.get("BENCH_TDVP") != "0":
@@ -482,6 +817,14 @@ def main():
                     timed("tdvp", bench_tdvp_step), 3)
         except Exception as e:
             extras["tdvp_error"] = str(e)[:200]
+        try:
+            if over_budget(60):
+                extras["tdvp2_skipped_budget"] = True
+            else:
+                extras["tdvp2_step_d10_ms"] = round(
+                    timed("tdvp2", bench_tdvp2_step), 3)
+        except Exception as e:
+            extras["tdvp2_error"] = str(e)[:200]
 
     # --- context extras below this line: first casualties of the budget ---
 
@@ -529,27 +872,42 @@ def main():
         except Exception as e:
             extras["als_sweep_error"] = str(e)[:200]
 
-    # vs_baseline: 70% of (measured full-MXU batched chain) / 2 — the K=64
-    # shape-occupancy factor applied to a MEASURED ceiling instead of the
-    # nominal 197 TF/s constant. Falls back to the analytic peak/2 only if
-    # the ceiling measurement failed. Continuity extras report the round-1
-    # full-hw-peak denominator as well (ADVICE r2).
-    k64_ceiling = (ceiling_full / 2.0 if ceiling_full
-                   else K64_MATMUL_ROOFLINE_GFLOPS)
+    # vs_baseline denominator (VERDICT r3 weak #1): the headline chain's
+    # FLOPs split equally between K=64 (merge, half-MXU) and K=128
+    # (re-split, full-MXU) matmuls, so its shape ceiling is the harmonic
+    # mean of C/2 and C: 2/(1/(C/2) + 1/C) = (2/3)*C with C the measured
+    # full-MXU chain. No reported fraction can exceed 1 under this
+    # denominator. The old K=64-only (C/2), analytic-peak/2 and
+    # full-hw-peak denominators stay as continuity extras.
+    C = ceiling_full if ceiling_full else 2.0 * K64_MATMUL_ROOFLINE_GFLOPS
+    shape_ceiling = (2.0 / 3.0) * C
+    k64_ceiling = C / 2.0
     extras["ceiling_is_measured"] = ceiling_full is not None
+    extras["shape_ceiling_gflops"] = round(shape_ceiling, 1)
+    extras["frac_of_shape_ceiling"] = round(gflops / shape_ceiling, 4)
     extras["k64_ceiling_gflops"] = round(k64_ceiling, 1)
+    extras["frac_of_k64_ceiling"] = round(gflops / k64_ceiling, 4)
     extras["analytic_k64_ceiling_gflops"] = K64_MATMUL_ROOFLINE_GFLOPS
     extras["frac_of_hw_peak"] = round(gflops / V5E_BF16_PEAK_GFLOPS, 4)
-    extras["frac_of_k64_ceiling"] = round(gflops / k64_ceiling, 4)
     extras["vs_full_hw_peak_target"] = round(
         gflops / (TARGET_FRACTION * V5E_BF16_PEAK_GFLOPS), 4)
+    # production-path fractions vs the PRECISION-MATCHED measured ceiling
+    # (the production pipeline must run f32 precision=HIGHEST for accuracy;
+    # comparing it to the bf16 chain would misstate utilization)
+    f32h = ceil_extras.get("f32_highest_ceiling_gflops")
+    if f32h:
+        for key in ("cn_step_d12_r64_gflops", "cn_step_d12_r32_gflops",
+                    "batched_als_r64_gflops"):
+            if key in extras:
+                extras[key.replace("_gflops", "_frac_of_f32h_ceiling")] = (
+                    round(extras[key] / f32h, 4))
     extras["bench_wall_s"] = round(time.time() - t_start, 1)
 
     result = {
         "metric": "rank64_core_contraction_gflops_per_chip",
         "value": round(gflops, 1),
         "unit": "GFLOP/s",
-        "vs_baseline": round(gflops / (TARGET_FRACTION * k64_ceiling), 4),
+        "vs_baseline": round(gflops / (TARGET_FRACTION * shape_ceiling), 4),
         **extras,
     }
     print(json.dumps(result))

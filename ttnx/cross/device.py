@@ -237,13 +237,18 @@ def dmrg_cross_device(f_idx, Is: Sequence[int], rank: int,
 
     def run(key):
         keys = jax.random.split(key, 2 * N + 1)
+        # one key per (row-set, column): a shared per-k key would make every
+        # column of an initial index row-set identical (constant tuples for
+        # uniform dims -> rank-deficient first-sweep superblocks)
         Il = [jnp.zeros((1, 0), dtype=jnp.int32)] + [
-            jnp.stack([jax.random.randint(keys[k], (Rs[k],), 0, Is[j],
+            jnp.stack([jax.random.randint(jax.random.fold_in(keys[k], j),
+                                          (Rs[k],), 0, Is[j],
                                           dtype=jnp.int32)
                        for j in range(k)], axis=1)
             for k in range(1, N)]
-        Ig = [jnp.stack([jax.random.randint(keys[N + k], (Rs[k + 1],), 0,
-                                            Is[k + 1 + j], dtype=jnp.int32)
+        Ig = [jnp.stack([jax.random.randint(
+                  jax.random.fold_in(keys[N + k], j), (Rs[k + 1],), 0,
+                  Is[k + 1 + j], dtype=jnp.int32)
                          for j in range(N - 1 - k)], axis=1)
               for k in range(N - 1)] + [jnp.zeros((1, 0), dtype=jnp.int32)]
         cores = [None] * N

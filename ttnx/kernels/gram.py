@@ -35,13 +35,14 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["gram_chain_fused", "can_fuse_gram_chain"]
 
 
-def can_fuse_gram_chain(dtype, d: int, R: int) -> bool:
+def can_fuse_gram_chain(dtype, d: int, R: int, n: int = 2) -> bool:
     """VMEM gate: the y stack (d * n * R^2 f32) plus two (R, R) carries must
-    fit comfortably (d=12, R=64 -> ~0.4 MB; cap at 8 MB), and the kernel is
-    real-f32 only (complex stays on the XLA scan)."""
+    fit comfortably (d=12, n=2, R=64 -> ~0.4 MB; cap at 8 MB), and the
+    kernel is real-f32 only (complex stays on the XLA scan)."""
     if jnp.issubdtype(jnp.dtype(dtype), jnp.complexfloating):
         return False
-    return d * 2 * R * R * 4 <= 8 * 1024 * 1024 and R >= 8
+    itemsize = jnp.dtype(dtype).itemsize
+    return d * n * R * R * itemsize <= 8 * 1024 * 1024 and R >= 8
 
 
 def _gram_chain_kernel(y_ref, g0_ref, out_ref, *, d: int, n: int):

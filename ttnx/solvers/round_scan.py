@@ -192,7 +192,7 @@ def tt_round_gram(y, R_out: int, masks_out):
     d, R, n, _ = y.shape
     if R_out > R:
         raise ValueError(f"R_out={R_out} must be <= padded rank {R}")
-    if can_fuse_gram_chain(y.dtype, d, R):
+    if can_fuse_gram_chain(y.dtype, d, R, n):
         Gs = gram_chain_fused(y, interpret=pallas_interpret())
     else:
         Gs = _gram_chain_xla(y)

@@ -421,6 +421,33 @@ def tdvp2_step(A_stack, x_stack, mask_stack, dt, truncerr, max_keep,
     return x_out, masks_out
 
 
+def _check_hermitian_for_lanczos(H: TTOperator, expm: str) -> None:
+    """Guard for ``expm='lanczos'``: Lanczos exponentiation silently assumes
+    a Hermitian generator — a non-Hermitian H (convection, OU drift) would
+    produce quietly wrong dynamics. Probabilistic host-side check:
+    ``<x, H y> == conj(<y, H x>)`` for random rank-2 TT vectors; fails with a
+    pointer to ``expm='dense'`` (which handles any generator)."""
+    if expm != "lanczos":
+        return
+    from ttnx.core.algebra import dot, matvec
+    from ttnx.core.tt import rand_tt
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(17))
+    dt = H.dtype
+    x = rand_tt(k1, H.dims, rmax=2, normalise=True).astype(dt)
+    y = rand_tt(k2, H.dims, rmax=2, normalise=True).astype(dt)
+    a = complex(dot(x, matvec(H, y)))
+    b = complex(dot(y, matvec(H, x)))
+    scale = max(abs(a), abs(b), 1e-30)
+    tol = float(jnp.finfo(jnp.zeros((), dt).real.dtype).eps) ** 0.5 * 100
+    if abs(a - b.conjugate()) / scale > tol:
+        raise ValueError(
+            "expm='lanczos' requires a Hermitian generator, but "
+            f"<x,Hy>={a:.3e} vs conj(<y,Hx>)={b.conjugate():.3e} "
+            f"(rel dev {abs(a - b.conjugate()) / scale:.1e}); use "
+            "expm='dense' for non-Hermitian H")
+
+
 def tdvp2_scan(H: TTOperator, u0: TTVector, steps, imaginary_time=False,
                normalize=True, rmax: int | None = None, truncerr: float = 0.0,
                max_bond: int | None = None, expm: str = "lanczos",
@@ -431,6 +458,7 @@ def tdvp2_scan(H: TTOperator, u0: TTVector, steps, imaginary_time=False,
     with the eigh form (remote-TPU safe)."""
     from ttnx.core.algebra import norm, scale
 
+    _check_hermitian_for_lanczos(H, expm)
     x = orthogonalize(u0, 0)
     if rmax is None:
         rmax = max(2 * max(x.ranks), 4)
@@ -494,6 +522,7 @@ def tdvp1_scan(H: TTOperator, u0: TTVector, steps, imaginary_time=False,
     h*lmax=17, destroyed at 42."""
     from ttnx.core.algebra import norm, scale
 
+    _check_hermitian_for_lanczos(H, expm)
     x = orthogonalize(u0, 0)
     rks = x.ranks
     if rmax is None:
