@@ -48,6 +48,25 @@ K64_MATMUL_ROOFLINE_GFLOPS = V5E_BF16_PEAK_GFLOPS / 2.0
 TARGET_FRACTION = 0.70
 
 
+def _host_orth0(u):
+    """Right-canonicalize a TTVector to center site 0 in f64 NUMPY on the
+    host. The eager jnp orthogonalize would dispatch f32 QRs to the axon
+    device, which pollutes the state at ~1e-3 (measured 2026-08-21:
+    tdvp gate rel 5.5e-3 with device-side orth vs 1e-4 class with this)."""
+    from ttnx.core.tt import TTVector
+
+    cores = [np.asarray(c, np.float64) for c in u.cores]
+    for k in range(len(cores) - 1, 0, -1):
+        rl, nn, rr = cores[k].shape
+        q, r = np.linalg.qr(cores[k].reshape(rl, nn * rr).T)
+        kk = q.shape[1]
+        cores[k] = np.ascontiguousarray(q.T.reshape(kk, nn, rr))
+        cores[k - 1] = np.einsum("anb,cb->anc", cores[k - 1], r)
+    # keep cores as host numpy f32: pack_tt consumes them via np.asarray,
+    # never dispatching an f64 op to the (f64-less) device
+    return TTVector([c.astype(np.float32) for c in cores])
+
+
 def _sync(out):
     """Force completion. On the remote-TPU ('axon') platform
     ``block_until_ready`` returns when the RPC future resolves, not when the
@@ -325,10 +344,9 @@ def bench_tdvp_step():
     u0 = ttnx.qtt_sin(d, a=hg, b=1 - hg)
     A_stack = pack_op(A, max(A.ranks))
     # TDVP step contract: state packed in site-0 canonical form (the
-    # un-orthogonalized pack cost 3.7e-4 of the round-3 gate budget)
-    from ttnx.core.canonical import orthogonalize
-
-    x_stack = pack_tt(orthogonalize(u0.astype(jnp.float32), 0), rmax)
+    # un-orthogonalized pack cost 3.7e-4 of the round-3 gate budget;
+    # device-side eager f32 orth costs 5.5e-3 — hence the host-f64 helper)
+    x_stack = pack_tt(_host_orth0(u0), rmax)
     masks = rank_masks(ttnx.core.tt.r_and_d_to_rks(
         u0.ranks, (2,) * d, rmax=rmax), rmax, dtype=jnp.float32)
     h_step = 1e-5
@@ -372,7 +390,6 @@ def bench_tdvp2_step():
     rmax=8, chained 8 steps one sync, accuracy-gated against the analytic
     eigenmode decay."""
     import ttnx
-    from ttnx.core.canonical import orthogonalize
     from ttnx.core.decomp import ttv_to_tensor
     from ttnx.solvers.als_scan import pack_op, pack_tt, unpack_tt
     from ttnx.solvers.tdvp_scan import tdvp2_step
@@ -384,7 +401,7 @@ def bench_tdvp2_step():
          ).astype(jnp.float32)
     u0 = ttnx.qtt_sin(d, a=hg, b=1 - hg)
     A_stack = pack_op(A, max(A.ranks))
-    x_stack = pack_tt(orthogonalize(u0.astype(jnp.float32), 0), rmax)
+    x_stack = pack_tt(_host_orth0(u0), rmax)
     mask_np = np.zeros((d + 1, rmax), np.float32)
     for i, r in enumerate(u0.ranks):
         mask_np[i, :r] = 1.0
@@ -606,7 +623,7 @@ def bench_cn_rank(rmax: int):
     return ms, flops / (ms / 1e3) / 1e9, rel, res
 
 
-def bench_batched_als_r64(batch: int = 256):
+def bench_batched_als_r64(batch: int = 64):
     """Batched PRODUCTION ALS at the BASELINE metric's rank 64: `vmap` of
     the full scan-ALS solve (d=12, matrix-free CG-32, f32
     precision=HIGHEST) over `batch` independent problems — the continuous-

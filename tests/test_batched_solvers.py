@@ -194,3 +194,43 @@ class TestFlopsUtil:
         f64 = cn_step_flops(12, 64, 4, 4)
         # contraction cost grows ~R^3: doubling R costs 6-8x
         assert 5.0 < f64 / f32 < 9.0
+
+
+class TestExplicitBatchALS:
+    """als_sweeps_b — the explicit-batch twin of vmap(als_sweeps): same
+    algorithm with the B axis written into the einsums (vmap-of-scan
+    compiles to ~3x slower TPU code, see als_scan_batched docstring).
+    Cores may differ by QR sign gauge; the represented vectors must match."""
+
+    def test_matches_vmap_als(self, key):
+        from ttnx.core.algebra import add_op, scale_op
+        from ttnx.core.canonical import tt_round
+        from ttnx.core.decomp import ttv_to_tensor
+        from ttnx.core.tt import id_tto, r_and_d_to_rks
+        from ttnx.solvers.als_scan import als_sweeps
+        from ttnx.solvers.als_scan_batched import als_sweeps_b
+
+        d, rmax = 6, 8
+        hg = 1.0 / (2 ** d + 1)
+        A = (-1.0 / hg ** 2) * ttnx.toeplitz_to_qtto(2.0, -1.0, -1.0, d)
+        lhs = add_op(id_tto(d), scale_op(-5e-7, A))
+        lhs_stack = pack_op(lhs, max(lhs.ranks))
+        u_rks = r_and_d_to_rks((1,) + (rmax,) * (d - 1) + (1,), (2,) * d,
+                               rmax=rmax)
+        masks = rank_masks(u_rks, rmax)
+        u0 = (ttnx.qtt_sin(d, a=hg, b=1 - hg)
+              + 0.3 * ttnx.qtt_sin(d, a=hg, b=1 - hg, lam=3.0))
+        us = pack_tt(tt_round(u0, max_bond=rmax), rmax)
+        B = 3
+        bb = jnp.stack([(1.0 + 0.2 * i) * us for i in range(B)])
+        xb = jnp.broadcast_to(us, (B,) + us.shape)
+        out = als_sweeps_b(lhs_stack, bb, xb, masks, 2, cg_iters=60)
+        ref = jax.vmap(lambda b, x: als_sweeps(
+            lhs_stack, b, x, masks, 2, solver="cg", cg_iters=60))(bb, xb)
+        for i in range(B):
+            vo = np.asarray(ttv_to_tensor(unpack_tt(out[i], u_rks))
+                            ).reshape(-1)
+            vr = np.asarray(ttv_to_tensor(unpack_tt(ref[i], u_rks))
+                            ).reshape(-1)
+            rel = np.linalg.norm(vo - vr) / np.linalg.norm(vr)
+            assert rel < 1e-12, (i, rel)

@@ -226,3 +226,18 @@ def test_device_cross_adaptive_rank_escalation():
                                                 rank_schedule=(2, 4))
     assert rank2 == 4
     assert eps2[-1] < 0.5  # usable approximation at the small cap
+
+
+class TestRemoteSafeInverse:
+    def test_pinv_gram_matches_pinv(self):
+        from ttnx.cross.device import _pinv_gram
+
+        rng = np.random.default_rng(5)
+        M = jnp.asarray(rng.standard_normal((8, 8)) + 2 * np.eye(8))
+        assert np.allclose(np.asarray(_pinv_gram(M)),
+                           np.linalg.pinv(np.asarray(M)), atol=1e-9)
+        # singular case: pseudo-inverse semantics preserved
+        Ms = jnp.asarray(np.outer(rng.standard_normal(6),
+                                  rng.standard_normal(6)))
+        assert np.allclose(np.asarray(_pinv_gram(Ms)),
+                           np.linalg.pinv(np.asarray(Ms)), atol=1e-8)

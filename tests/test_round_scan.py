@@ -232,6 +232,29 @@ class TestGramChainRounding:
         yg = tt_round_gram(big, 4, masks_out)
         assert np.allclose(padded_to_vec(yg), padded_to_vec(ys), atol=1e-10)
 
+    def test_gram_chain_vmap_takes_xla_path(self):
+        """`jax.vmap` of tt_round_gram must work (batched CN steps): the
+        custom_vmap rule reroutes the Pallas kernel to the XLA scan (Mosaic
+        rejects vmap's extra grid dim on the remote toolchain). The rounded
+        chains must represent the same vectors as the per-problem loop."""
+        from ttnx.solvers.round_scan import tt_round_gram
+
+        A, u, RA, dims, u_rks, masks_big = _setup()
+        big = matvec_padded(pack_op(A, RA).astype(jnp.float32),
+                            pack_tt(u, 4).astype(jnp.float32))
+        big_b = jnp.stack([big, 1.5 * big, 0.5 * big])
+        big_rks = [min(a * b, RA * 4) for a, b in zip(A.ranks, u_rks)]
+        masks_out = rank_masks(round_masks(big_rks, 4, dims), 4,
+                               dtype=jnp.float32)
+        out_v = jax.vmap(lambda y: tt_round_gram(y, 4, masks_out))(big_b)
+        for i in range(3):
+            # the represented vector is gauge-invariant: internal eigh sign
+            # flips cancel between the isometry and the carried transfer
+            ref = padded_to_vec(tt_round_gram(big_b[i], 4, masks_out))
+            got = padded_to_vec(out_v[i])
+            rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+            assert rel < 1e-4, (i, rel)
+
     def test_gram_chain_rank_deficient(self):
         from ttnx.solvers.round_scan import tt_round_gram
 

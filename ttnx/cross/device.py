@@ -33,21 +33,52 @@ __all__ = ["maxvol_fixed", "evaluate_tt_indices", "index_evaluator",
            "tt_cross_device_adaptive"]
 
 
+def _pinv_gram(M):
+    """``pinv(M)`` for a small square matrix via eigh of the Gram matrix —
+    the only inverse composition the remote-TPU ('axon') toolchain compiles
+    (LU-backed ``inv``/``pinv`` and any SVD SIGABRT its compile helper,
+    measured 2026-08-21). Squares the condition number, which is fine here:
+    maxvol pivot blocks are dominant submatrices with modest cond."""
+    G = M.conj().T @ M
+    w, V = jnp.linalg.eigh(G)
+    w = jnp.maximum(w.real, 0.0)
+    cutoff = jnp.finfo(w.dtype).eps * M.shape[0] * jnp.max(w)
+    keep = w > cutoff
+    winv = jnp.where(keep, 1.0 / jnp.where(keep, w, 1.0), 0.0)
+    return (V * winv[None, :].astype(V.dtype)) @ V.conj().T @ M.conj().T
+
+
+def _on_tpu() -> bool:
+    """Trace-time backend gate (same pattern as ttnx.kernels.dispatch)."""
+    return jax.default_backend() == "tpu"
+
+
 @partial(jax.jit, static_argnames=("maxiter",))
 def maxvol_fixed(a, tol: float = 1.05, maxiter: int = 100):
     """Jittable quasi-maxvol: row indices of an ``r x r`` dominant submatrix
     of the tall ``a (n, r)``. Same Goreinov–Tyrtyshnikov swap iteration as
     :func:`ttnx.cross.maxvol.maxvol`, with a fixed-size pivot buffer and a
-    ``lax.while_loop`` (early exit when every |B| entry <= tol)."""
+    ``lax.while_loop`` (early exit when every |B| entry <= tol).
+
+    On TPU the LU partial-pivot init and LU-backed pinv are replaced by a
+    largest-row-norm init and the eigh/Gram pinv (the remote toolchain
+    SIGABRTs on LU; the swap iteration converges to a dominant submatrix
+    from any nonsingular start, a worse start just spends more of the
+    ``maxiter`` budget)."""
     n, r = a.shape
     if n <= r:
         return jnp.arange(n, dtype=jnp.int32)
-    # LU partial-pivot initialization (rectangular LU: permutation rows)
-    _, _, perm = lax.linalg.lu(a)
-    rows = jnp.sort(perm[:r].astype(jnp.int32))
-    # pinv-based start matrix: robust to a singular a[rows] (host path
-    # catches LinAlgError -> pinv; jnp.linalg.solve would silently NaN)
-    B = a @ jnp.linalg.pinv(a[rows])
+    if _on_tpu():
+        _, rows = lax.top_k(jnp.sum(jnp.abs(a) ** 2, axis=1), r)
+        rows = jnp.sort(rows.astype(jnp.int32))
+        B = a @ _pinv_gram(a[rows])
+    else:
+        # LU partial-pivot initialization (rectangular LU: permutation rows)
+        _, _, perm = lax.linalg.lu(a)
+        rows = jnp.sort(perm[:r].astype(jnp.int32))
+        # pinv-based start matrix: robust to a singular a[rows] (host path
+        # catches LinAlgError -> pinv; jnp.linalg.solve would silently NaN)
+        B = a @ jnp.linalg.pinv(a[rows])
 
     def cond(state):
         rows, B, k = state
@@ -169,7 +200,8 @@ def maxvol_cross_device(f_idx, Is: Sequence[int], rank: int,
                 V = f_idx(idx).reshape(Rs[j] * Is[j], Rs[j + 1])
                 q, _ = jnp.linalg.qr(V)
                 piv = maxvol_fixed(q, pivot_tol, maxiter=pivot_maxiter)
-                G = q @ jnp.linalg.inv(q[piv])
+                inv = _pinv_gram if _on_tpu() else jnp.linalg.inv
+                G = q @ inv(q[piv])
                 cores[j] = G.reshape(Rs[j], Is[j], Rs[j + 1])
                 lsets[j + 1] = jnp.concatenate(
                     [lsets[j][piv // Is[j]], (piv % Is[j])[:, None]], axis=1)
@@ -179,7 +211,8 @@ def maxvol_cross_device(f_idx, Is: Sequence[int], rank: int,
                 V = f_idx(idx).reshape(Rs[j], Is[j] * Rs[j + 1])
                 q, _ = jnp.linalg.qr(V.T)
                 piv = maxvol_fixed(q, pivot_tol, maxiter=pivot_maxiter)
-                G = q @ jnp.linalg.inv(q[piv])
+                inv = _pinv_gram if _on_tpu() else jnp.linalg.inv
+                G = q @ inv(q[piv])
                 cores[j] = jnp.transpose(
                     G.reshape(Is[j], Rs[j + 1], Rs[j]), (2, 0, 1))
                 rsets[j - 1] = jnp.concatenate(

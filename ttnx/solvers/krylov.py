@@ -13,6 +13,16 @@ iteration via the ``KRYLOV_ROUND_RANK`` global
 * :func:`krylov_linsolve` — solver autoselection mirroring the reference
   (euler.jl:34-74): CG if posdef+symmetric, else BiCGStab when rounding,
   else GMRES.
+
+DEVICE NOTE: this eager tier reads scalars (``float(norm(...))``,
+``complex(dot(...))``) inside every Arnoldi/CG iteration — one host
+round trip per iteration. That is fine on CPU (the f64 parity tier this
+module exists for) but pathological on a remote-attached TPU where every
+sync costs a ~25 ms RPC: a 30-dim Arnoldi step would spend ~1 s in round
+trips alone. On device, use the jitted scan tier instead —
+:mod:`ttnx.solvers.als_scan` / ``dmrg_scan`` / ``tdvp_scan`` /
+``round_scan.make_cn_step`` run whole sweeps/steps as single programs with
+no per-iteration host reads.
 """
 
 from __future__ import annotations

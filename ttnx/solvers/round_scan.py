@@ -166,6 +166,25 @@ def _gram_chain_xla(y):
     return jnp.concatenate([G1[None], Gs_tail], axis=0)  # Gs[k] = G_{k+1}
 
 
+@jax.custom_batching.custom_vmap
+def _gram_chain_fused_batchable(y):
+    """The fused Pallas Gram chain with a custom vmap rule: `jax.vmap` of a
+    Mosaic kernel adds a grid dimension the remote-TPU toolchain rejects
+    (measured 2026-08-21: HTTP 500 from the compile helper), so batched
+    callers — `vmap`-ed CN steps — transparently take the XLA scan instead
+    while the single-problem flagship path keeps the kernel."""
+    from ttnx.kernels.dispatch import pallas_interpret
+    from ttnx.kernels.gram import gram_chain_fused
+
+    return gram_chain_fused(y, interpret=pallas_interpret())
+
+
+@_gram_chain_fused_batchable.def_vmap
+def _gram_chain_fused_vmap_rule(axis_size, in_batched, y):
+    del axis_size, in_batched
+    return jax.vmap(_gram_chain_xla)(y), True
+
+
 def tt_round_gram(y, R_out: int, masks_out):
     """Gram-chain rounding — the fused production path (VERDICT r2 item 2).
 
@@ -186,14 +205,13 @@ def tt_round_gram(y, R_out: int, masks_out):
 
     Reference semantics: /root/reference/src/tt_tools.jl:743-789.
     """
-    from ttnx.kernels.dispatch import pallas_interpret
-    from ttnx.kernels.gram import can_fuse_gram_chain, gram_chain_fused
+    from ttnx.kernels.gram import can_fuse_gram_chain
 
     d, R, n, _ = y.shape
     if R_out > R:
         raise ValueError(f"R_out={R_out} must be <= padded rank {R}")
     if can_fuse_gram_chain(y.dtype, d, R, n):
-        Gs = gram_chain_fused(y, interpret=pallas_interpret())
+        Gs = _gram_chain_fused_batchable(y)
     else:
         Gs = _gram_chain_xla(y)
 
