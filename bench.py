@@ -689,6 +689,70 @@ def bench_batched_als_r64(batch: int = 64):
     return batch / best, batch * fa / best / 1e9, res
 
 
+def bench_batched_cross_device():
+    """Device number for BASELINE config 5's batched parameter sweep: the
+    vmapped fixed-rank MaxVol cross (16 Wishart Laplace-transform
+    integrands, one jitted program) ON THE CHIP. Remote-toolchain
+    constraints shape the section: eigh/Gram inverses instead of LU/SVD
+    (cross/device.py TPU path), the determinant computed via the symmetric
+    similarity ``det(I + t*sqrt(D) S sqrt(D))`` = product of eigh
+    eigenvalues (LU-backed ``det`` SIGABRTs the compile helper), and
+    precision='highest' (bf16-input f32 dots cost ~4e-3/contraction).
+    Accuracy-gated on the in-program validation sample. Reference
+    workload: /root/reference/test/test_tt_cross_interpolation.jl:147-186."""
+    from functools import partial
+
+    from ttnx.cross.device import maxvol_cross_device
+
+    d = 5
+    p = (d + 2) / 2
+    Sigma = np.array([
+        [1.0, 0.3, 0.2, 0.1, 0.18],
+        [0.3, 1.2, 0.25, 0.15, 0.22],
+        [0.2, 0.25, 0.9, 0.2, 0.28],
+        [0.1, 0.15, 0.2, 1.1, 0.19],
+        [0.18, 0.22, 0.28, 0.19, 1.05],
+    ])
+    sigma = jnp.asarray(2 * Sigma, jnp.float32)
+    grid = jnp.linspace(0.0, 2.0, 8).astype(jnp.float32)
+
+    def f_idx(theta, indices):
+        coords = jnp.take(grid, indices)
+        s = jnp.sqrt(jnp.maximum(coords, 0.0))
+        Msym = (jnp.eye(d, dtype=jnp.float32)[None]
+                + theta * s[:, :, None] * sigma[None] * s[:, None, :])
+        w = jnp.linalg.eigvalsh(Msym)
+        return jnp.prod(w, axis=1) ** (-p)
+
+    B = 16
+    thetas = jnp.linspace(0.5, 1.5, B).astype(jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(2), B)
+
+    def run_one(theta, key):
+        fn = maxvol_cross_device(partial(f_idx, theta), [8] * d, rank=8,
+                                 n_iters=3, dtype=jnp.float32, n_val=500)
+        return fn(key)
+
+    @jax.jit
+    def bfn(thetas, keys):
+        with jax.default_matmul_precision("highest"):
+            return jax.vmap(run_one)(thetas, keys)
+
+    cores, eps = bfn(thetas, keys)
+    _sync(eps)
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        cores, eps = bfn(thetas, keys)
+        _sync(eps)
+        best = min(best or 9e9, time.perf_counter() - t0)
+    max_eps = float(jnp.max(eps[:, -1]))
+    if not np.isfinite(max_eps) or max_eps > 1e-3:
+        raise RuntimeError(
+            f"batched device cross inaccurate: max val_eps={max_eps:.2e}")
+    return B / best, max_eps
+
+
 def bench_als_sweep_d12():
     """One full jitted scan-ALS sweep pass (fwd+bwd) on the d=12 QTT heat
     problem, f32, rmax=16."""
@@ -842,6 +906,20 @@ def main():
                     timed("tdvp2", bench_tdvp2_step), 3)
         except Exception as e:
             extras["tdvp2_error"] = str(e)[:200]
+
+    # 4d. batched device TT-cross (BASELINE config 5 parameter sweep on
+    #     the chip) — budget-gated (its compile alone is ~40 s)
+    if os.environ.get("BENCH_CROSS") != "0":
+        try:
+            if over_budget(120):
+                extras["batched_cross_skipped_budget"] = True
+            else:
+                cps, eps_c = timed("batched_cross",
+                                   bench_batched_cross_device)
+                extras["batched_cross_per_s"] = round(cps, 1)
+                extras["batched_cross_val_eps"] = float(f"{eps_c:.2e}")
+        except Exception as e:
+            extras["batched_cross_error"] = str(e)[:200]
 
     # --- context extras below this line: first casualties of the budget ---
 

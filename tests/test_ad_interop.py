@@ -95,7 +95,7 @@ class TestAutodiff:
         cost = rayleigh_quotient(H)
         x0 = rand_tt(key, (2,) * d, rmax=6, normalise=True, orthogonal=True)
         e0 = float(cost(x0))
-        x, hist = manifold_gradient_descent(cost, x0, steps=400, lr=0.05)
+        x, hist = manifold_gradient_descent(cost, x0, steps=250, lr=0.05)
         e_dense = np.linalg.eigvalsh(np.asarray(qtto_to_matrix(H)))[0]
         # monotone descent, substantial progress, variational bound, proximity
         assert all(hist[i + 1] <= hist[i] + 1e-9 for i in range(len(hist) - 1))

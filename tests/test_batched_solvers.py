@@ -124,7 +124,7 @@ class TestBatchedTDVP:
         xb = jnp.broadcast_to(x, (batch,) + x.shape)
         mb = jnp.broadcast_to(m, (batch,) + m.shape)
         out = batched_tdvp1_steps(A_stack, xb, mb, hs, n_steps=2,
-                                  imag_real=True)
+                                  krylov_dim=8, imag_real=True)
         mu1 = (2 - 2 * np.cos(np.pi * hg)) / hg ** 2
         u0_dense = np.asarray(ttv_to_tensor(u0)).reshape(-1)
         rks = ttnx.core.tt.r_and_d_to_rks(u0.ranks, (2,) * D, rmax=8)
@@ -138,7 +138,7 @@ class TestBatchedTDVP:
             v = x
             for _ in range(2):
                 v = tdvp1_step(A_stack, v, m, jnp.float64(h),
-                               imag_real=True)
+                               krylov_dim=8, imag_real=True)
             assert np.allclose(np.asarray(out[i]), np.asarray(v),
                                atol=1e-12)
 
@@ -150,9 +150,10 @@ class TestBatchedTDVP:
         h = jnp.float64(1e-5)
         out_x, out_m = batched_tdvp2_steps(A_stack, xb, mb, h,
                                            truncerr=0.0, max_bond=8,
-                                           n_steps=1, imag_real=True)
+                                           n_steps=1, krylov_dim=8,
+                                           imag_real=True)
         v, vm = tdvp2_step(A_stack, x, m, h, jnp.float64(0.0),
-                           jnp.int32(8), imag_real=True)
+                           jnp.int32(8), krylov_dim=8, imag_real=True)
         for i in range(batch):
             assert np.allclose(np.asarray(out_x[i]), np.asarray(v),
                                atol=1e-12)

@@ -86,10 +86,10 @@ class TestExpintegratorTT:
     def test_matches_dense_expm(self, key):
         from ttnx import expintegrator_tt, rand_tto, tto_to_tensor
 
-        d = 4
+        d = 3  # full-Krylov exactness needs dim 2^d: keep the contract cheap
         A = rand_tto(key, (2,) * d, rmax=2)
         v = rand_tt(jax.random.fold_in(key, 1), (2,) * d, rmax=2)
-        out, info = expintegrator_tt(A, 0.3, v, krylov_dim=20)
+        out, info = expintegrator_tt(A, 0.3, v, krylov_dim=10)
         dense_A = np.asarray(tto_to_tensor(A)).reshape(2 ** d, 2 ** d)
         expect = scipy.linalg.expm(0.3 * dense_A) @ vec(v)
         err = np.linalg.norm(vec(out) - expect) / np.linalg.norm(expect)
@@ -135,7 +135,7 @@ class TestTTKrylovSolvers:
     def test_gmres(self, key):
         A, b, x_true, x0 = self._system(key)
         op = lambda x: matvec(A, x)
-        x = gmres_tt(op, b, x0, krylovdim=10, maxiter=20, tol=1e-10)
+        x = gmres_tt(op, b, x0, krylovdim=10, maxiter=10, tol=1e-10)
         assert np.linalg.norm(vec(x) - vec(x_true)) < 1e-6
 
     def test_gmres_full_ill_conditioned(self, key):

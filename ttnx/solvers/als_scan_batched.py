@@ -1,13 +1,18 @@
 """Explicitly-batched scan-ALS: the B axis written into every contraction.
 
-``jax.vmap(als_sweeps)`` produces pathological code on TPU for this solver:
-probe measurements (2026-08-21, scripts/probe_bals_breakdown.py) show the
-vmapped batched solve at rank 64 spends ~600 ms of fixed overhead that is
-not CG FLOPs (cg_iters 2 -> 32 adds only ~90 ms), not the batched QRs
-(60 ms standalone), and not the environment einsums (~40 ms) — the
-vmap-of-scan transform itself manufactures the rest. This module is the
-same algorithm as :func:`ttnx.solvers.als_scan.als_sweeps` with a leading
-batch axis spelled out in every einsum, giving XLA clean batched HLOs.
+The same algorithm as :func:`ttnx.solvers.als_scan.als_sweeps` with a
+leading batch axis spelled out in every einsum. MEASURED EQUIVALENT to
+``jax.vmap(als_sweeps)`` on the v5e (746 vs 716 ms at B=64, rank 64 —
+within session noise): the batched rank-64 ALS is bounded by a per-op
+scheduling floor (~0.3-0.8 ms for mid-size batched ops), not by the vmap
+transform. The full investigation — vmap vs explicit batch, site-loop
+unrolling, K=R-only dot_general decompositions, polar vs QR orthogonality
+— is recorded in scripts/probe_bals_*.py and STATUS.md; every restructure
+measured EQUAL OR WORSE, so this module stays the einsum form. It exists
+as (a) the explicit-batch substrate a future fused (Pallas) site-solve
+must plug into — ``vmap`` over Mosaic kernels does not compile on the
+remote toolchain — and (b) an independently-tested twin of the vmap path
+(gauge-invariant parity test).
 
 One operator, a batch of right-hand sides / states, one shared rank-mask
 profile (the continuous-batching contract of ``ttnx.parallel.batch``).
@@ -84,9 +89,9 @@ def als_sweeps_b(A_stack, b_batch, x_batch, masks, sweep_count: int = 2,
     ``A_stack [d, RA, n, n, RA]`` shared operator; ``b_batch/x_batch
     [B, d, R, n, R]``; ``masks [d+1, R]`` shared rank profile. Returns the
     solved ``[B, d, R, n, R]`` stack. Matches ``vmap(als_sweeps(...,
-    solver='cg'))`` to roundoff (tests); exists because the explicit batch
-    axis compiles to ~3x faster code on TPU than the vmap transform (see
-    module docstring).
+    solver='cg'))`` up to QR sign gauge (the represented vectors agree to
+    roundoff — tests); performance-equivalent to the vmap form on the v5e
+    (see module docstring for the measured investigation).
     """
     Bb, d, R, n, _ = x_batch.shape
     dt = x_batch.dtype
