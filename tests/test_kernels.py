@@ -337,3 +337,53 @@ def test_merge_resplit_chain_autotuned_config(rng):
         c = np.einsum("bmk,bkn->bmn", acc, bn)
         acc = np.einsum("bmn,bnk->bmk", c, wn).astype(np.float32)
     assert np.allclose(np.asarray(out), acc, atol=1e-3)
+
+
+class TestMatrixFreeCG:
+    """local_cg_mf: the rank>=32 fused matrix-free CG (K is VMEM-infeasible
+    above M=1024; the envs-only matrix-free form fits easily)."""
+
+    def _als_setup(self, rmax):
+        import ttnx
+        from ttnx.core.algebra import add_op, scale_op
+        from ttnx.core.canonical import tt_round
+        from ttnx.core.tt import id_tto, r_and_d_to_rks
+        from ttnx.solvers.als_scan import pack_op, pack_tt, rank_masks
+
+        d = 6
+        hg = 1.0 / (2 ** d + 1)
+        A = ((-1.0 / hg ** 2) * ttnx.toeplitz_to_qtto(2.0, -1.0, -1.0, d)
+             ).astype(jnp.float32)
+        lhs = add_op(id_tto(d, dtype=jnp.float32), scale_op(-5e-7, A))
+        lhs_stack = pack_op(lhs, max(lhs.ranks))
+        u_rks = r_and_d_to_rks((1,) + (rmax,) * (d - 1) + (1,), (2,) * d,
+                               rmax=rmax)
+        masks = rank_masks(u_rks, rmax, dtype=jnp.float32)
+        u0 = ttnx.qtt_sin(d, a=hg, b=1 - hg)
+        us = pack_tt(tt_round(u0, max_bond=rmax).astype(jnp.float32), rmax)
+        return lhs_stack, us, masks, u_rks
+
+    def test_gate(self):
+        from ttnx.kernels.local_cg_mf import fits_vmem_mf
+
+        assert fits_vmem_mf(jnp.float32, 64, 4, 2)
+        assert fits_vmem_mf(jnp.float32, 32, 4, 2)
+        assert not fits_vmem_mf(jnp.float32, 16, 4, 2)   # dense kernel's turf
+        assert not fits_vmem_mf(jnp.complex64, 64, 4, 2)
+
+    def test_als_kernel_path_matches_cg(self):
+        """solver='cg_fused' at rmax=32 dispatches to the matrix-free kernel
+        (interpret mode on CPU) and must represent the same solution as the
+        XLA matrix-free 'cg' path."""
+        from ttnx.core.decomp import ttv_to_tensor
+        from ttnx.solvers.als_scan import als_sweeps, unpack_tt
+
+        lhs_stack, us, masks, u_rks = self._als_setup(32)
+        out_k = als_sweeps(lhs_stack, us, us, masks, 2, solver="cg_fused",
+                           cg_iters=24)
+        out_c = als_sweeps(lhs_stack, us, us, masks, 2, solver="cg",
+                           cg_iters=24)
+        vk = np.asarray(ttv_to_tensor(unpack_tt(out_k, u_rks))).reshape(-1)
+        vc = np.asarray(ttv_to_tensor(unpack_tt(out_c, u_rks))).reshape(-1)
+        rel = np.linalg.norm(vk - vc) / np.linalg.norm(vc)
+        assert rel < 1e-5, rel

@@ -162,6 +162,7 @@ def _local_solve_padded(L, Ac, Renv, Lb, bc, Rb_env, m_l, m_r,
     if solver in ("cg_fused", "bicgstab_fused"):
         from ttnx.kernels.dispatch import can_fuse_local_cg, pallas_interpret
         from ttnx.kernels.local_cg import bicgstab_solve_fused, cg_solve_fused
+        from ttnx.kernels.local_cg_mf import cg_matfree_fused, fits_vmem_mf
 
         if can_fuse_local_cg(L.dtype, M):
             K, maskv = _assemble_K_padded(L, Ac, Renv, maskv3)
@@ -172,6 +173,12 @@ def _local_solve_padded(L, Ac, Renv, Lb, bc, Rb_env, m_l, m_r,
                 V = cg_solve_fused(K, rhs.reshape(M), iters=cg_iters,
                                    interpret=pallas_interpret())
             return V.reshape(R, n, R)
+        if solver == "cg_fused" and fits_vmem_mf(L.dtype, R, Ac.shape[0], n):
+            # rank >= 32: K is VMEM-infeasible but the MATRIX-FREE CG fits
+            # (envs only) — whole solve fused in one kernel (local_cg_mf)
+            return cg_matfree_fused(L, Ac, Renv, rhs, maskv3,
+                                    iters=cg_iters,
+                                    interpret=pallas_interpret())
         # complex / oversized fallbacks stay matrix-free (einsum applies):
         # 'cg' for the SPD kernel, 'bicgstab' for the non-symmetric one
         solver = "cg" if solver == "cg_fused" else "bicgstab"
