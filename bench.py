@@ -223,8 +223,13 @@ def bench_pallas_matmul_ceiling():
                 return acc @ w
             return jax.lax.fori_loop(0, 256, body, x)
 
-    dt_h = _time_fn(chain_f32h, xh, wh, warmup=1, iters=2)
-    f32h = 2.0 * n_h ** 3 * 256 / dt_h / 1e9
+    # best-of-3: the f32h chain rate is session-variable (measured 2.8 /
+    # 6.8-7.3 / 25.6 TF/s across 2026-08-21 sessions; 25.6 = bf16/6, the
+    # expected 6-pass rate) — report the best sustained as the ceiling
+    f32h = 0.0
+    for _ in range(3):
+        dt_h = _time_fn(chain_f32h, xh, wh, warmup=1, iters=1)
+        f32h = max(f32h, 2.0 * n_h ** 3 * 256 / dt_h / 1e9)
     return max(pallas128, xla_sq), {
         "pallas_matmul128_chain_gflops": round(pallas128, 1),
         "xla_square_chain_gflops": round(xla_sq, 1),
@@ -623,7 +628,7 @@ def bench_cn_rank(rmax: int):
     return ms, flops / (ms / 1e3) / 1e9, rel, res
 
 
-def bench_batched_als_r64(batch: int = 64):
+def bench_batched_als_r64(batch: int = 256):
     """Batched PRODUCTION ALS at the BASELINE metric's rank 64: `vmap` of
     the full scan-ALS solve (d=12, matrix-free CG-32, f32
     precision=HIGHEST) over `batch` independent problems — the continuous-
@@ -657,21 +662,44 @@ def bench_batched_als_r64(batch: int = 64):
     b_batch = jnp.broadcast_to(us, (batch,) + us.shape)
     x_batch = b_batch
 
-    @jax.jit
-    def bfn(bb, xb):
-        with jax.default_matmul_precision("highest"):
-            return jax.vmap(
-                lambda b, x: als_sweeps(lhs_stack, b, x, masks, 2,
-                                        solver="cg_fused",
-                                        cg_iters=32))(bb, xb)
+    # preference ladder (each rung measured 2026-08-21): explicit-batch
+    # ALS with the grid-batched matrix-free CG kernel; then vmap over the
+    # single-problem kernel (347 solves/s when its compile succeeds, but
+    # vmap-over-pallas is session-flaky on the remote toolchain); then the
+    # XLA matrix-free CG (92 solves/s floor)
+    from ttnx.solvers.als_scan_batched import als_sweeps_b
 
-    out = bfn(b_batch, x_batch)
-    _sync(out)
+    candidates = [
+        ("explicit_kernel", jax.jit(lambda bb, xb: als_sweeps_b(
+            lhs_stack, bb, xb, masks, 2, cg_iters=32, solver="cg_fused"))),
+        ("vmap_kernel", jax.jit(lambda bb, xb: jax.vmap(
+            lambda b, x: als_sweeps(lhs_stack, b, x, masks, 2,
+                                    solver="cg_fused",
+                                    cg_iters=32))(bb, xb))),
+        ("vmap_cg", jax.jit(lambda bb, xb: jax.vmap(
+            lambda b, x: als_sweeps(lhs_stack, b, x, masks, 2, solver="cg",
+                                    cg_iters=32))(bb, xb))),
+    ]
+    bfn = None
+    impl = None
+    err0 = None
+    for name, cand in candidates:
+        try:
+            with jax.default_matmul_precision("highest"):
+                out = cand(b_batch, x_batch)
+                _sync(out)
+            bfn, impl = cand, name
+            break
+        except Exception as e:  # remote compile rejection — try next rung
+            err0 = err0 or f"{name}: {str(e)[:120]}"
+    if bfn is None:
+        raise RuntimeError(f"no batched r64 path compiled: {err0}")
     best = None
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(3):
-            out = bfn(b_batch, x_batch)
+            with jax.default_matmul_precision("highest"):
+                out = bfn(b_batch, x_batch)
             _sync(out)
         best = min(best or 9e9, (time.perf_counter() - t0) / 3)
     # gate: element 0 must solve (I - h/2 A) x = u0 against the exact
@@ -686,7 +714,7 @@ def bench_batched_als_r64(batch: int = 64):
     if not np.isfinite(res) or res > 1e-2:
         raise RuntimeError(f"batched r64 ALS inaccurate: residual={res}")
     fa = als_sweeps_flops(d, rmax, 4, rmax, cg_iters=32)
-    return batch / best, batch * fa / best / 1e9, res
+    return batch / best, batch * fa / best / 1e9, res, impl
 
 
 def bench_batched_cross_device():
@@ -865,11 +893,12 @@ def main():
             if over_budget(60):
                 extras["batched_als_r64_skipped_budget"] = True
             else:
-                sps, gf_b, res_b = timed("batched_als_r64",
-                                         bench_batched_als_r64)
+                sps, gf_b, res_b, impl_b = timed("batched_als_r64",
+                                                 bench_batched_als_r64)
                 extras["batched_als_r64_solves_per_s"] = round(sps, 2)
                 extras["batched_als_r64_gflops"] = round(gf_b, 1)
                 extras["batched_als_r64_residual"] = float(f"{res_b:.2e}")
+                extras["batched_als_r64_impl"] = impl_b
         except Exception as e:
             extras["batched_als_r64_error"] = str(e)[:200]
 

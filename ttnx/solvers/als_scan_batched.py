@@ -39,8 +39,13 @@ def _b_boundary_env_b(B, R, Rb, dtype):
     return e.at[:, 0, 0].set(1.0)
 
 
-def _b_local_cg(L, Ac, Renv, Lb, bc, Rb_env, m_l, m_r, cg_iters: int):
-    """Masked matrix-free CG on the batched local system (SPD operators)."""
+def _b_local_cg(L, Ac, Renv, Lb, bc, Rb_env, m_l, m_r, cg_iters: int,
+                solver: str = "cg"):
+    """Masked matrix-free CG on the batched local system (SPD operators).
+    ``solver='cg_fused'`` routes the whole solve through the explicitly-
+    batched fused kernel (:func:`ttnx.kernels.local_cg_mf.
+    cg_matfree_fused_batched` — grid over the batch, no vmap-over-pallas)
+    when the per-block VMEM gate admits it."""
     B = L.shape[0]
     R = L.shape[1]
     n = Ac.shape[1]
@@ -48,6 +53,15 @@ def _b_local_cg(L, Ac, Renv, Lb, bc, Rb_env, m_l, m_r, cg_iters: int):
               * jnp.ones((1, n, 1), dtype=m_l.dtype))[None]
     rhs = jnp.einsum("Bau,Buiv,Bcv->Baic", Lb, bc, Rb_env,
                      optimize=True) * maskv3
+    if solver == "cg_fused":
+        from ttnx.kernels.dispatch import pallas_interpret
+        from ttnx.kernels.local_cg_mf import (cg_matfree_fused_batched,
+                                              fits_vmem_mf)
+
+        if fits_vmem_mf(L.dtype, R, Ac.shape[0], n):
+            return cg_matfree_fused_batched(
+                L, Ac, Renv, rhs, maskv3[0], iters=cg_iters,
+                interpret=pallas_interpret())
 
     def apply_k(v):
         out = jnp.einsum("BaWb,WiJw,Bcwd,BbJd->Baic", L, Ac, Renv,
@@ -81,9 +95,9 @@ def _b_local_cg(L, Ac, Renv, Lb, bc, Rb_env, m_l, m_r, cg_iters: int):
     return x
 
 
-@partial(jax.jit, static_argnames=("sweep_count", "cg_iters"))
+@partial(jax.jit, static_argnames=("sweep_count", "cg_iters", "solver"))
 def als_sweeps_b(A_stack, b_batch, x_batch, masks, sweep_count: int = 2,
-                 cg_iters: int = 32):
+                 cg_iters: int = 32, solver: str = "cg"):
     """Batched ALS half-sweeps with matrix-free CG local solves.
 
     ``A_stack [d, RA, n, n, RA]`` shared operator; ``b_batch/x_batch
@@ -151,7 +165,8 @@ def als_sweeps_b(A_stack, b_batch, x_batch, masks, sweep_count: int = 2,
         def step(carry, inp):
             L, Lb, _T = carry
             Ac, bc, Renv, Rb_env, m_l, m_r = inp
-            V = _b_local_cg(L, Ac, Renv, Lb, bc, Rb_env, m_l, m_r, cg_iters)
+            V = _b_local_cg(L, Ac, Renv, Lb, bc, Rb_env, m_l, m_r,
+                            cg_iters, solver)
             q, r = jnp.linalg.qr(V.reshape(Bb, R * n, R))
             q = q * m_r[None, None, :]
             r = r * m_r[None, :, None]
@@ -179,7 +194,7 @@ def als_sweeps_b(A_stack, b_batch, x_batch, masks, sweep_count: int = 2,
             Renv, Rb_env, _T = carry
             Ac, bc, Lenv, Lb_env, m_l, m_r = inp
             V = _b_local_cg(Lenv, Ac, Renv, Lb_env, bc, Rb_env, m_l, m_r,
-                            cg_iters)
+                            cg_iters, solver)
             qt, rt = jnp.linalg.qr(jnp.swapaxes(V.reshape(Bb, R, n * R),
                                                 1, 2))
             q = jnp.swapaxes(qt, 1, 2).reshape(Bb, R, n, R) \
