@@ -387,3 +387,58 @@ class TestMatrixFreeCG:
         vc = np.asarray(ttv_to_tensor(unpack_tt(out_c, u_rks))).reshape(-1)
         rel = np.linalg.norm(vk - vc) / np.linalg.norm(vc)
         assert rel < 1e-5, rel
+
+
+class TestEnvChainKernels:
+    """env_chain: whole right/left ALS environment builds as single fused
+    kernels (XLA scan-with-outputs copies the output buffer per iteration;
+    einsum paths contract tiny dims as matmul-K — round-4 measurements)."""
+
+    def _setup(self):
+        import ttnx
+        from ttnx.core.algebra import add_op, scale_op
+        from ttnx.core.canonical import tt_round
+        from ttnx.core.tt import id_tto, r_and_d_to_rks
+        from ttnx.solvers.als_scan import pack_op, pack_tt, rank_masks
+
+        d, rmax = 8, 32
+        hg = 1.0 / (2 ** d + 1)
+        A = ((-1.0 / hg ** 2) * ttnx.toeplitz_to_qtto(2.0, -1.0, -1.0, d)
+             ).astype(jnp.float32)
+        lhs = add_op(id_tto(d, dtype=jnp.float32), scale_op(-5e-7, A))
+        lhs_stack = pack_op(lhs, max(lhs.ranks))
+        u_rks = r_and_d_to_rks((1,) + (rmax,) * (d - 1) + (1,), (2,) * d,
+                               rmax=rmax)
+        masks = rank_masks(u_rks, rmax, dtype=jnp.float32)
+        u0 = ttnx.qtt_sin(d, a=hg, b=1 - hg)
+        us = pack_tt(tt_round(u0, max_bond=rmax).astype(jnp.float32), rmax)
+        return lhs_stack, us, masks
+
+    def test_right_env_chain_matches_scan(self):
+        from ttnx.kernels.env_chain import right_env_chain_fused
+        from ttnx.solvers.als_scan import _right_env_stack
+
+        lhs_stack, us, masks = self._setup()
+        ref, refb = _right_env_stack(us, lhs_stack, us, masks[1:])
+        xm = us * masks[1:][:, None, None, :]
+        got, gotb = right_env_chain_fused(xm, lhs_stack, us, interpret=True)
+        assert np.allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+        assert np.allclose(np.asarray(gotb), np.asarray(refb), atol=1e-4)
+
+    def test_left_env_chain_matches_scan(self):
+        from ttnx.kernels.env_chain import left_env_chain_fused
+        from ttnx.solvers.als_scan import _left_env_stack
+
+        lhs_stack, us, masks = self._setup()
+        ref, refb = _left_env_stack(us, lhs_stack, us, masks[1:])
+        xm = us * masks[1:][:, None, None, :]
+        got, gotb = left_env_chain_fused(xm, lhs_stack, us, interpret=True)
+        assert np.allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+        assert np.allclose(np.asarray(gotb), np.asarray(refb), atol=1e-4)
+
+    def test_gate(self):
+        from ttnx.kernels.env_chain import can_fuse_env_chain
+
+        assert can_fuse_env_chain(jnp.float32, 12, 64, 4, 2)
+        assert not can_fuse_env_chain(jnp.float64, 12, 64, 4, 2)
+        assert not can_fuse_env_chain(jnp.complex64, 12, 64, 4, 2)

@@ -1,0 +1,224 @@
+"""Fused right-environment chain for the scan-ALS.
+
+The ALS right-env build is a backward recurrence of pure contractions::
+
+    Renv_d = e0 e0^T (boundary)          Rb_d = e0 e0^T
+    Renv_k = sum_{i,j} conj(x_k)[:,i,:] (sum_{W,w} A_k[W,i,j,w] ...) ...
+    (new[a,W,b] = conj(x)[a,i,p] A[W,i,j,w] x[b,j,q] Renv[p,w,q])
+
+— no QR/SVD/eigh, so like the Gram chain (:mod:`ttnx.kernels.gram`) the
+WHOLE d-site build fuses into one VMEM-resident kernel. As XLA this is a
+``lax.scan`` whose stacked outputs get copied every iteration (measured
+4.9 GF/s vs 48 GF/s carry-only, round 4) and whose einsums contract the
+tiny physical/operator dims as matmul-K (2-6% MXU occupancy); in-kernel the
+small indices are unrolled in Python and every dot is K=R.
+
+Same Mosaic playbook as gram.py / local_cg_mf.py: static unrolled site
+loop, no transposes, keepdims-safe ops only, static-index output stores,
+i*0-typed index maps, MPO cores as an SMEM scalar table.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["right_env_chain_fused", "left_env_chain_fused",
+           "can_fuse_env_chain"]
+
+
+def can_fuse_env_chain(dtype, d: int, R: int, RA: int, n: int) -> bool:
+    """VMEM gate: x/b stacks (2 * d*R*n*R), output stacks
+    (d*(R*RA*R + R*R)), plus working set; real f32 only."""
+    if jnp.issubdtype(jnp.dtype(dtype), jnp.complexfloating):
+        return False
+    if jnp.dtype(dtype) != jnp.float32:
+        return False  # kernels accumulate in f32; f64 parity stays on XLA
+    itemsize = jnp.dtype(dtype).itemsize
+    vmem = itemsize * (2 * d * R * n * R + d * (R * RA * R + R * R)
+                       + 4 * R * RA * R)
+    return R >= 16 and vmem <= 10 * 1024 * 1024
+
+
+def _kernel(x_ref, b_ref, A_ref, out_ref, outb_ref, *, d: int, R: int,
+            RA: int, n: int, Rb: int):
+    """x: (d, n, R, R); b: (d, n, Rb, Rb); A: (d, RA*n, n*RA) scalars;
+    out: (d+1, R, RA, R) with out[k] = Renv over sites k..d-1 (out[d] =
+    boundary); outb: (d+1, R, Rb) likewise.
+
+    Layouts put the site/physical axes LEADING so every slice is a
+    contiguous (R, R) tile with static indices (no transposes).
+    """
+
+    def dot(a, b, dims):
+        return jax.lax.dot_general(a, b, (dims, ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
+
+    # boundary envs: e0 e0^T as masked iota outer products (no scatter)
+    row = jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (R, R), 1)
+    e00 = jnp.where((row == 0) & (col == 0), 1.0, 0.0).astype(jnp.float32)
+    rowb = jax.lax.broadcasted_iota(jnp.int32, (R, Rb), 0)
+    colb = jax.lax.broadcasted_iota(jnp.int32, (R, Rb), 1)
+    e00b = jnp.where((rowb == 0) & (colb == 0), 1.0, 0.0).astype(
+        jnp.float32)
+
+    # Renv carried as RA slices of (R, R); output layout (d+1, RA, R, R)
+    # so every store is a leading-static-index full-tile write
+    G = [e00 if w == 0 else jnp.zeros((R, R), jnp.float32)
+         for w in range(RA)]
+    Gb = e00b
+    for w in range(RA):
+        out_ref[d, w] = G[w]
+    outb_ref[d] = Gb
+
+    for k in range(d - 1, -1, -1):
+        # s[j][w][b, p] = sum_q x_k[j][b, q] G[w][p, q]
+        s = [[dot(x_ref[k, j], G[w], ((1,), (1,)))
+              for w in range(RA)] for j in range(n)]
+        G_new = []
+        for W in range(RA):
+            acc = None
+            for i in range(n):
+                m = None
+                for j in range(n):
+                    for w in range(RA):
+                        term = A_ref[k, W * n + i, j * RA + w] * s[j][w]
+                        m = term if m is None else m + term
+                # new_W[a, b] += sum_p x_i[a, p] m[b, p]
+                t = dot(x_ref[k, i], m, ((1,), (1,)))
+                acc = t if acc is None else acc + t
+            G_new.append(acc)
+        # b-env: new_b[a, u] = sum_{i, p, v} x_k[i][a, p] bc[i][u, v] Gb[p, v]
+        Gb_new = None
+        for i in range(n):
+            sb = dot(b_ref[k, i], Gb, ((1,), (1,)))     # (u, p)
+            tb = dot(x_ref[k, i], sb, ((1,), (1,)))     # (a, u)
+            Gb_new = tb if Gb_new is None else Gb_new + tb
+        for w in range(RA):
+            out_ref[k, w] = G_new[w]
+        outb_ref[k] = Gb_new
+        G = G_new
+        Gb = Gb_new
+
+
+def _kernel_left(x_ref, b_ref, A_ref, out_ref, outb_ref, *, d: int, R: int,
+                 RA: int, n: int, Rb: int):
+    """Forward (left-env) mirror: ``L_new[c,w,d'] = sum x[a,i,c] L[a,W,b]
+    A[W,i,j,w] x[b,j,d']``; outputs ``out[k] = L over sites 0..k-1``."""
+
+    def dot(a, b, dims):
+        return jax.lax.dot_general(a, b, (dims, ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (R, R), 1)
+    e00 = jnp.where((row == 0) & (col == 0), 1.0, 0.0).astype(jnp.float32)
+    rowb = jax.lax.broadcasted_iota(jnp.int32, (R, Rb), 0)
+    colb = jax.lax.broadcasted_iota(jnp.int32, (R, Rb), 1)
+    e00b = jnp.where((rowb == 0) & (colb == 0), 1.0, 0.0).astype(
+        jnp.float32)
+
+    G = [e00 if W == 0 else jnp.zeros((R, R), jnp.float32)
+         for W in range(RA)]
+    Gb = e00b
+    for W in range(RA):
+        out_ref[0, W] = G[W]
+    outb_ref[0] = Gb
+
+    for k in range(d):
+        # t[i][W][c, b] = sum_a x_i[a, c] L_W[a, b]
+        t = [[dot(x_ref[k, i], G[W], ((0,), (0,)))
+              for W in range(RA)] for i in range(n)]
+        G_new = [None] * RA
+        for i in range(n):
+            for W in range(RA):
+                for j in range(n):
+                    # v[c, d'] = sum_b t[i][W][c, b] x_j[b, d']
+                    v = dot(t[i][W], x_ref[k, j], ((1,), (0,)))
+                    for w in range(RA):
+                        term = A_ref[k, W * n + i, j * RA + w] * v
+                        G_new[w] = term if G_new[w] is None \
+                            else G_new[w] + term
+        Gb_new = None
+        for i in range(n):
+            # sb[p, u] = sum_a x_i[a, p] Lb[a, u]
+            sb = dot(x_ref[k, i], Gb, ((0,), (0,)))
+            # tb[p, v'] = sum_u sb[p, u] b_i[u, v']
+            tb = dot(sb, b_ref[k, i], ((1,), (0,)))
+            Gb_new = tb if Gb_new is None else Gb_new + tb
+        for W in range(RA):
+            out_ref[k + 1, W] = G_new[W]
+        outb_ref[k + 1] = Gb_new
+        G = G_new
+        Gb = Gb_new
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def left_env_chain_fused(x, A, b, interpret: bool = False):
+    """Whole left-environment build in ONE kernel (mirror of
+    :func:`right_env_chain_fused`; matches
+    :func:`ttnx.solvers.als_scan._left_env_stack`)."""
+    d, R, n, _ = x.shape
+    RA = A.shape[1]
+    Rb = b.shape[1]
+    xt = jnp.transpose(x, (0, 2, 1, 3))
+    bt = jnp.transpose(b, (0, 2, 1, 3))
+    A2 = A.reshape(d, RA * n, n * RA)
+    kernel = functools.partial(_kernel_left, d=d, R=R, RA=RA, n=n, Rb=Rb)
+    space = pl.ANY if interpret else pltpu.VMEM
+    sspace = pl.ANY if interpret else pltpu.SMEM
+    envs_w, envs_b = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=space),
+            pl.BlockSpec(memory_space=space),
+            pl.BlockSpec(memory_space=sspace),
+        ],
+        out_specs=(pl.BlockSpec(memory_space=space),
+                   pl.BlockSpec(memory_space=space)),
+        out_shape=(jax.ShapeDtypeStruct((d + 1, RA, R, R), x.dtype),
+                   jax.ShapeDtypeStruct((d + 1, R, Rb), x.dtype)),
+        interpret=interpret,
+    )(xt, bt, A2)
+    return jnp.transpose(envs_w, (0, 2, 1, 3)), envs_b
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def right_env_chain_fused(x, A, b, interpret: bool = False):
+    """Whole right-environment build in ONE kernel.
+
+    ``x (d, R, n, R)`` state stack (masked), ``A (d, RA, n, n, RA)`` MPO
+    stack, ``b (d, Rb, n, Rb)`` rhs stack with ``Rb == R`` (the padded CN
+    pipeline's contract). Returns ``(envs (d+1, R, RA, R), envs_b
+    (d+1, R, Rb))`` matching :func:`ttnx.solvers.als_scan._right_env_stack`.
+    """
+    d, R, n, _ = x.shape
+    RA = A.shape[1]
+    Rb = b.shape[1]
+    xt = jnp.transpose(x, (0, 2, 1, 3))         # (d, n, R, R)
+    bt = jnp.transpose(b, (0, 2, 1, 3))         # (d, n, Rb, Rb)
+    A2 = A.reshape(d, RA * n, n * RA)           # rows (W,i), cols (j,w)
+    kernel = functools.partial(_kernel, d=d, R=R, RA=RA, n=n, Rb=Rb)
+    space = pl.ANY if interpret else pltpu.VMEM
+    sspace = pl.ANY if interpret else pltpu.SMEM
+    envs_w, envs_b = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=space),
+            pl.BlockSpec(memory_space=space),
+            pl.BlockSpec(memory_space=sspace),
+        ],
+        out_specs=(pl.BlockSpec(memory_space=space),
+                   pl.BlockSpec(memory_space=space)),
+        out_shape=(jax.ShapeDtypeStruct((d + 1, RA, R, R), x.dtype),
+                   jax.ShapeDtypeStruct((d + 1, R, Rb), x.dtype)),
+        interpret=interpret,
+    )(xt, bt, A2)
+    return jnp.transpose(envs_w, (0, 2, 1, 3)), envs_b

@@ -406,16 +406,39 @@ def als_sweeps(A_stack, b_stack, x_stack, masks, sweep_count: int = 2,
             f"'bicgstab_fused', got {solver!r}")
     if orth not in ("qr", "polar"):
         raise ValueError(f"orth must be 'qr' or 'polar', got {orth!r}")
+    from ttnx.kernels.dispatch import pallas_interpret
+    from ttnx.kernels.env_chain import (can_fuse_env_chain,
+                                        left_env_chain_fused,
+                                        right_env_chain_fused)
+
+    d, R, n, _ = x_stack.shape
+    RA = A_stack.shape[1]
+    fuse_envs = can_fuse_env_chain(x_stack.dtype, d, R, RA, n)
+
+    def right_envs(x):
+        if fuse_envs:
+            xm = x * masks[1:][:, None, None, :]
+            return right_env_chain_fused(xm, A_stack, b_stack,
+                                         interpret=pallas_interpret())
+        return _right_env_stack(x, A_stack, b_stack, masks[1:])
+
+    def left_envs(x):
+        if fuse_envs:
+            xm = x * masks[1:][:, None, None, :]
+            return left_env_chain_fused(xm, A_stack, b_stack,
+                                        interpret=pallas_interpret())
+        return _left_env_stack(x, A_stack, b_stack, masks[1:])
+
     x = x_stack
     half = 0
     while half < sweep_count:
-        Renvs, Rb_envs = _right_env_stack(x, A_stack, b_stack, masks[1:])
+        Renvs, Rb_envs = right_envs(x)
         x = _forward_half_sweep(x, A_stack, b_stack, Renvs, Rb_envs, masks,
                                 solver=solver, orth=orth, cg_iters=cg_iters)
         half += 1
         if half >= sweep_count:
             break
-        Lenvs, Lb_envs = _left_env_stack(x, A_stack, b_stack, masks[1:])
+        Lenvs, Lb_envs = left_envs(x)
         x = _backward_half_sweep(x, A_stack, b_stack, Lenvs, Lb_envs, masks,
                                  solver=solver, orth=orth, cg_iters=cg_iters)
         half += 1
