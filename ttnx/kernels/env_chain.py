@@ -31,9 +31,19 @@ __all__ = ["right_env_chain_fused", "left_env_chain_fused",
            "can_fuse_env_chain"]
 
 
+# Device enablement flag: interpret-mode (CPU) use is always allowed, but
+# the REAL Mosaic compile of these kernels SIGABRTed the remote toolchain
+# on first deployment (2026-08-21, all ranks — no diagnostic; suspected
+# 3-D SMEM scalar table / multi-output). Until a probe proves a fix, the
+# production dispatch keeps the XLA env scans on TPU.
+ENABLE_ON_TPU = False
+
+
 def can_fuse_env_chain(dtype, d: int, R: int, RA: int, n: int) -> bool:
     """VMEM gate: x/b stacks (2 * d*R*n*R), output stacks
     (d*(R*RA*R + R*R)), plus working set; real f32 only."""
+    if jax.default_backend() == "tpu" and not ENABLE_ON_TPU:
+        return False
     if jnp.issubdtype(jnp.dtype(dtype), jnp.complexfloating):
         return False
     if jnp.dtype(dtype) != jnp.float32:
