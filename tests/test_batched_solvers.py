@@ -235,3 +235,38 @@ class TestExplicitBatchALS:
                             ).reshape(-1)
             rel = np.linalg.norm(vo - vr) / np.linalg.norm(vr)
             assert rel < 1e-12, (i, rel)
+
+    def test_cg_fused_kernel_path_matches_cg(self, key):
+        """solver='cg_fused' routes als_sweeps_b through the grid-batched
+        matrix-free CG and env-chain kernels (interpret mode on CPU); the
+        represented solutions must match the plain 'cg' path."""
+        from ttnx.core.algebra import add_op, scale_op
+        from ttnx.core.canonical import tt_round
+        from ttnx.core.decomp import ttv_to_tensor
+        from ttnx.core.tt import id_tto, r_and_d_to_rks
+        from ttnx.solvers.als_scan_batched import als_sweeps_b
+
+        d, rmax = 6, 32
+        hg = 1.0 / (2 ** d + 1)
+        A = ((-1.0 / hg ** 2) * ttnx.toeplitz_to_qtto(2.0, -1.0, -1.0, d)
+             ).astype(jnp.float32)
+        lhs = add_op(id_tto(d, dtype=jnp.float32), scale_op(-5e-7, A))
+        lhs_stack = pack_op(lhs, max(lhs.ranks))
+        u_rks = r_and_d_to_rks((1,) + (rmax,) * (d - 1) + (1,), (2,) * d,
+                               rmax=rmax)
+        masks = rank_masks(u_rks, rmax, dtype=jnp.float32)
+        u0 = ttnx.qtt_sin(d, a=hg, b=1 - hg)
+        us = pack_tt(tt_round(u0, max_bond=rmax).astype(jnp.float32), rmax)
+        B = 3
+        bb = jnp.stack([(1.0 + 0.2 * i) * us for i in range(B)])
+        out_k = als_sweeps_b(lhs_stack, bb, bb, masks, 2, cg_iters=24,
+                             solver="cg_fused")
+        out_c = als_sweeps_b(lhs_stack, bb, bb, masks, 2, cg_iters=24,
+                             solver="cg")
+        for i in range(B):
+            vk = np.asarray(ttv_to_tensor(unpack_tt(out_k[i], u_rks))
+                            ).reshape(-1)
+            vc = np.asarray(ttv_to_tensor(unpack_tt(out_c[i], u_rks))
+                            ).reshape(-1)
+            rel = np.linalg.norm(vk - vc) / np.linalg.norm(vc)
+            assert rel < 1e-4, (i, rel)

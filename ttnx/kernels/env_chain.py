@@ -28,7 +28,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["right_env_chain_fused", "left_env_chain_fused",
-           "can_fuse_env_chain"]
+           "env_chain_fused_batched", "can_fuse_env_chain"]
 
 
 # Device enablement flag (True since the boundary-construction fix): the
@@ -160,6 +160,116 @@ def _kernel_left(x_ref, b_ref, A_ref, e00_ref, e00b_ref, out_ref,
         outb_ref[k + 1] = Gb_new
         G = G_new
         Gb = Gb_new
+
+
+def _kernel_b1(x_ref, b_ref, A_ref, e00_ref, e00b_ref, out_ref, outb_ref,
+               *, d, R, RA, n, Rb, left: bool):
+    """Grid-batched wrapper body: refs carry a leading singleton batch dim
+    (one problem per grid step); logic identical to _kernel/_kernel_left
+    with every load/store indexed through [0]."""
+
+    def dot(a, b, dims):
+        return jax.lax.dot_general(a, b, (dims, ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
+
+    e00 = e00_ref[:]
+    e00b = e00b_ref[:]
+    G = [e00 if W == 0 else jnp.zeros((R, R), jnp.float32)
+         for W in range(RA)]
+    Gb = e00b
+    edge = 0 if left else d
+    for W in range(RA):
+        out_ref[0, edge, W] = G[W]
+    outb_ref[0, edge] = Gb
+
+    sites = range(d) if left else range(d - 1, -1, -1)
+    for k in sites:
+        if left:
+            t = [[dot(x_ref[0, k, i], G[W], ((0,), (0,)))
+                  for W in range(RA)] for i in range(n)]
+            G_new = [None] * RA
+            for i in range(n):
+                for W in range(RA):
+                    for j in range(n):
+                        v = dot(t[i][W], x_ref[0, k, j], ((1,), (0,)))
+                        for w in range(RA):
+                            term = A_ref[k, W * n + i, j * RA + w] * v
+                            G_new[w] = term if G_new[w] is None \
+                                else G_new[w] + term
+            Gb_new = None
+            for i in range(n):
+                sb = dot(x_ref[0, k, i], Gb, ((0,), (0,)))
+                tb = dot(sb, b_ref[0, k, i], ((1,), (0,)))
+                Gb_new = tb if Gb_new is None else Gb_new + tb
+            store = k + 1
+        else:
+            s = [[dot(x_ref[0, k, j], G[w], ((1,), (1,)))
+                  for w in range(RA)] for j in range(n)]
+            G_new = []
+            for W in range(RA):
+                acc = None
+                for i in range(n):
+                    m = None
+                    for j in range(n):
+                        for w in range(RA):
+                            term = A_ref[k, W * n + i, j * RA + w] * s[j][w]
+                            m = term if m is None else m + term
+                    t2 = dot(x_ref[0, k, i], m, ((1,), (1,)))
+                    acc = t2 if acc is None else acc + t2
+                G_new.append(acc)
+            Gb_new = None
+            for i in range(n):
+                sb = dot(b_ref[0, k, i], Gb, ((1,), (1,)))
+                tb = dot(x_ref[0, k, i], sb, ((1,), (1,)))
+                Gb_new = tb if Gb_new is None else Gb_new + tb
+            store = k
+        for W in range(RA):
+            out_ref[0, store, W] = G_new[W]
+        outb_ref[0, store] = Gb_new
+        G = G_new
+        Gb = Gb_new
+
+
+@functools.partial(jax.jit, static_argnames=("left", "interpret"))
+def env_chain_fused_batched(x, A, b, left: bool = False,
+                            interpret: bool = False):
+    """Grid-batched env chains: one problem per grid step (``x/b
+    (B, d, R, n, R)``, shared ``A``). Returns envs shaped
+    ``(B, d+1, R, RA, R)`` and ``(B, d+1, R, Rb)``."""
+    B, d, R, n, _ = x.shape
+    RA = A.shape[1]
+    Rb = b.shape[2]
+    xt = jnp.transpose(x, (0, 1, 3, 2, 4))      # (B, d, n, R, R)
+    bt2 = jnp.transpose(b, (0, 1, 3, 2, 4))
+    A2 = A.reshape(d, RA * n, n * RA)
+    e00 = jnp.zeros((R, R), x.dtype).at[0, 0].set(1.0)
+    e00b = jnp.zeros((R, Rb), x.dtype).at[0, 0].set(1.0)
+    kernel = functools.partial(_kernel_b1, d=d, R=R, RA=RA, n=n, Rb=Rb,
+                               left=left)
+    space = pl.ANY if interpret else pltpu.VMEM
+    sspace = pl.ANY if interpret else pltpu.SMEM
+    shared = lambda *shape, ms: pl.BlockSpec(
+        shape, lambda i: tuple(i * 0 for _ in shape), memory_space=ms)
+    bspec = lambda *shape: pl.BlockSpec(
+        (1,) + shape, lambda i: (i,) + tuple(i * 0 for _ in shape),
+        memory_space=space)
+    envs_w, envs_b = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            bspec(d, n, R, R),
+            bspec(d, n, Rb, Rb),
+            shared(d, RA * n, n * RA, ms=sspace),
+            shared(R, R, ms=space),
+            shared(R, Rb, ms=space),
+        ],
+        out_specs=(bspec(d + 1, RA, R, R), bspec(d + 1, R, Rb)),
+        out_shape=(jax.ShapeDtypeStruct((B, d + 1, RA, R, R), x.dtype),
+                   jax.ShapeDtypeStruct((B, d + 1, R, Rb), x.dtype)),
+        interpret=interpret,
+    )(xt, bt2, A2, e00, e00b)
+    return jnp.transpose(envs_w, (0, 1, 3, 2, 4)), envs_b
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -112,7 +112,20 @@ def als_sweeps_b(A_stack, b_batch, x_batch, masks, sweep_count: int = 2,
     RA = A_stack.shape[1]
     Rb = b_batch.shape[2]
 
+    from ttnx.kernels.dispatch import pallas_interpret
+    from ttnx.kernels.env_chain import (can_fuse_env_chain,
+                                        env_chain_fused_batched)
+
+    fuse_envs = (solver == "cg_fused"
+                 and can_fuse_env_chain(dt, d, R, RA, n))
+
     def right_envs(x):
+        if fuse_envs:
+            xm = x * masks[1:][None, :, None, None, :]
+            envs, envs_b = env_chain_fused_batched(
+                xm, A_stack, b_batch, left=False,
+                interpret=pallas_interpret())
+            return jnp.moveaxis(envs, 1, 0), jnp.moveaxis(envs_b, 1, 0)
         init = (_b_boundary_env(Bb, R, RA, dt),
                 _b_boundary_env_b(Bb, R, Rb, dt))
 
@@ -135,6 +148,12 @@ def als_sweeps_b(A_stack, b_batch, x_batch, masks, sweep_count: int = 2,
         return envs, envs_b
 
     def left_envs(x):
+        if fuse_envs:
+            xm = x * masks[1:][None, :, None, None, :]
+            envs, envs_b = env_chain_fused_batched(
+                xm, A_stack, b_batch, left=True,
+                interpret=pallas_interpret())
+            return jnp.moveaxis(envs, 1, 0), jnp.moveaxis(envs_b, 1, 0)
         init = (_b_boundary_env(Bb, R, RA, dt),
                 _b_boundary_env_b(Bb, R, Rb, dt))
 
