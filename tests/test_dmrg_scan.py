@@ -1,6 +1,7 @@
 """Jitted two-site DMRG with matrix-free Lanczos/CG local solves."""
 
 import numpy as np
+import jax
 
 import jax.numpy as jnp
 
@@ -105,3 +106,33 @@ def test_eig_sweep_gram_split_matches_svd():
     E_g, _ = dmrg_eigsolve_scan(H, x0, tol=1e-10, rmax=12, n_sweeps=3,
                                 split="gram", eig_solver="lanczos_fused")
     assert abs(float(E_s[-1]) - float(E_g[-1])) < 1e-8
+
+
+def test_eig_sweep_f32_env_kernel_path():
+    """f32 eigsweep routes its env builds through the fused A-only env
+    chain (interpret on CPU); energies must match the f64 XLA-scan path."""
+    import ttnx
+    from ttnx.solvers.als_scan import pack_op, pack_tt, rank_masks
+    from ttnx.solvers.dmrg_scan import dmrg_eig_sweep
+
+    d, rmax = 6, 16
+    H = ttnx.xxx_tto(d)
+    x0 = ttnx.rand_tt(jax.random.PRNGKey(3), (2,) * d, rmax=4,
+                      normalise=True, orthogonal=True)
+    A64 = pack_op(H, max(H.ranks))
+    xs64 = pack_tt(x0, rmax)
+    ms64 = rank_masks(x0.ranks, rmax)
+    xs, ms = xs64, ms64
+    tol = jnp.float64(1e-8)
+    for _ in range(4):
+        xs, ms, E64 = dmrg_eig_sweep(A64, xs, ms, tol, tol)
+    A32 = A64.astype(jnp.float32)
+    xs32 = xs64.astype(jnp.float32)
+    ms32 = ms64.astype(jnp.float32)
+    tol32 = jnp.float32(1e-6)
+    xs, ms = xs32, ms32
+    for _ in range(4):
+        xs, ms, E32 = dmrg_eig_sweep(A32, xs, ms, tol32, tol32,
+                                     split="gram")
+    assert abs(float(E32[-1]) - float(E64[-1])) < 1e-3, (
+        float(E32[-1]), float(E64[-1]))

@@ -28,7 +28,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["right_env_chain_fused", "left_env_chain_fused",
-           "env_chain_fused_batched", "can_fuse_env_chain"]
+           "env_chain_fused_batched", "env_chain_A_fused",
+           "can_fuse_env_chain"]
 
 
 # Device enablement flag (True since the boundary-construction fix): the
@@ -160,6 +161,85 @@ def _kernel_left(x_ref, b_ref, A_ref, e00_ref, e00b_ref, out_ref,
         outb_ref[k + 1] = Gb_new
         G = G_new
         Gb = Gb_new
+
+
+def _kernel_A(x_ref, A_ref, e00_ref, out_ref, *, d: int, R: int, RA: int,
+              n: int, left: bool):
+    """A-only env chain (eigenproblem sweeps have no rhs): same recurrences
+    as _kernel/_kernel_left minus the b-env legs."""
+
+    def dot(a, b, dims):
+        return jax.lax.dot_general(a, b, (dims, ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
+
+    e00 = e00_ref[:]
+    G = [e00 if W == 0 else jnp.zeros((R, R), jnp.float32)
+         for W in range(RA)]
+    edge = 0 if left else d
+    for W in range(RA):
+        out_ref[edge, W] = G[W]
+    sites = range(d) if left else range(d - 1, -1, -1)
+    for k in sites:
+        if left:
+            t = [[dot(x_ref[k, i], G[W], ((0,), (0,)))
+                  for W in range(RA)] for i in range(n)]
+            G_new = [None] * RA
+            for i in range(n):
+                for W in range(RA):
+                    for j in range(n):
+                        v = dot(t[i][W], x_ref[k, j], ((1,), (0,)))
+                        for w in range(RA):
+                            term = A_ref[k, W * n + i, j * RA + w] * v
+                            G_new[w] = term if G_new[w] is None \
+                                else G_new[w] + term
+            store = k + 1
+        else:
+            s = [[dot(x_ref[k, j], G[w], ((1,), (1,)))
+                  for w in range(RA)] for j in range(n)]
+            G_new = []
+            for W in range(RA):
+                acc = None
+                for i in range(n):
+                    m = None
+                    for j in range(n):
+                        for w in range(RA):
+                            term = A_ref[k, W * n + i, j * RA + w] * s[j][w]
+                            m = term if m is None else m + term
+                    t2 = dot(x_ref[k, i], m, ((1,), (1,)))
+                    acc = t2 if acc is None else acc + t2
+                G_new.append(acc)
+            store = k
+        for W in range(RA):
+            out_ref[store, W] = G_new[W]
+        G = G_new
+
+
+@functools.partial(jax.jit, static_argnames=("left", "interpret"))
+def env_chain_A_fused(x, A, left: bool = False, interpret: bool = False):
+    """A-only env chain (DMRG/ALS eigensweeps): returns
+    ``envs (d+1, R, RA, R)`` matching the A-env halves of the scan builds.
+    ``x`` must already carry its rank masks."""
+    d, R, n, _ = x.shape
+    RA = A.shape[1]
+    xt = jnp.transpose(x, (0, 2, 1, 3))
+    A2 = A.reshape(d, RA * n, n * RA)
+    e00 = jnp.zeros((R, R), x.dtype).at[0, 0].set(1.0)
+    kernel = functools.partial(_kernel_A, d=d, R=R, RA=RA, n=n, left=left)
+    space = pl.ANY if interpret else pltpu.VMEM
+    sspace = pl.ANY if interpret else pltpu.SMEM
+    envs = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=space),
+            pl.BlockSpec(memory_space=sspace),
+            pl.BlockSpec(memory_space=space),
+        ],
+        out_specs=pl.BlockSpec(memory_space=space),
+        out_shape=jax.ShapeDtypeStruct((d + 1, RA, R, R), x.dtype),
+        interpret=interpret,
+    )(xt, A2, e00)
+    return jnp.transpose(envs, (0, 2, 1, 3))
 
 
 def _kernel_b1(x_ref, b_ref, A_ref, e00_ref, e00b_ref, out_ref, outb_ref,

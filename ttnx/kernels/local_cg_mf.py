@@ -57,7 +57,6 @@ def _dot(a, b, dims):
 
 def _kernel(L_ref, Renv_ref, Ac_ref, rhs_ref, mask_ref, out_ref, *,
             iters: int, R: int, RA: int, n: int):
-    M = R * n * R
     mask = mask_ref[:]                      # (R, n, R)
     rhs = rhs_ref[:] * mask
 
@@ -118,8 +117,6 @@ def _kernel_batched(L_ref, Renv_ref, Ac_ref, rhs_ref, mask_ref, out_ref, *,
     """Batched twin: every ref carries a leading block-batch dim ``bt``;
     all dots are batched dot_generals (batch dim 0), CG scalars are
     per-problem ``(bt, 1, 1)`` rowdots."""
-    bt = rhs_ref.shape[0]
-    M = R * n * R
     mask = mask_ref[:]                      # (R, n, R), shared
     rhs = rhs_ref[:] * mask[None]
 

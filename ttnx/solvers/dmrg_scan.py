@@ -291,7 +291,16 @@ def dmrg_eig_sweep(A_stack, x_stack, mask_stack, tol, degen_tol,
     dt = x_stack.dtype
     RA = A_stack.shape[1]
 
+    from ttnx.kernels.dispatch import pallas_interpret
+    from ttnx.kernels.env_chain import can_fuse_env_chain, env_chain_A_fused
+
+    fuse_envs = can_fuse_env_chain(dt, d, R, RA, n)
+
     def right_envs(x, masks):
+        if fuse_envs:
+            xm = x * masks[1:][:, None, None, :]
+            return env_chain_A_fused(xm, A_stack, left=False,
+                                     interpret=pallas_interpret())
         init = _boundary_env(R, RA, dt)
 
         def step(carry, inp):
@@ -328,6 +337,10 @@ def dmrg_eig_sweep(A_stack, x_stack, mask_stack, tol, degen_tol,
         [mask_stack[0][None], fwd_masks, mask_stack[d][None]], axis=0)
 
     def left_envs(x, masks):
+        if fuse_envs:
+            xm = x * masks[1:][:, None, None, :]
+            return env_chain_A_fused(xm, A_stack, left=True,
+                                     interpret=pallas_interpret())
         init = _boundary_env(R, RA, dt)
 
         def step(carry, inp):
