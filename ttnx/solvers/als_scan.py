@@ -406,27 +406,23 @@ def als_sweeps(A_stack, b_stack, x_stack, masks, sweep_count: int = 2,
             f"'bicgstab_fused', got {solver!r}")
     if orth not in ("qr", "polar"):
         raise ValueError(f"orth must be 'qr' or 'polar', got {orth!r}")
-    from ttnx.kernels.dispatch import pallas_interpret
-    from ttnx.kernels.env_chain import (can_fuse_env_chain,
-                                        left_env_chain_fused,
-                                        right_env_chain_fused)
+    from ttnx.kernels.env_chain import can_fuse_env_chain, env_chain_batchable
 
     d, R, n, _ = x_stack.shape
     RA = A_stack.shape[1]
-    fuse_envs = can_fuse_env_chain(x_stack.dtype, d, R, RA, n)
+    fuse_envs = can_fuse_env_chain(x_stack.dtype, d, R, RA, n,
+                                   Rb=b_stack.shape[1])
 
     def right_envs(x):
         if fuse_envs:
             xm = x * masks[1:][:, None, None, :]
-            return right_env_chain_fused(xm, A_stack, b_stack,
-                                         interpret=pallas_interpret())
+            return env_chain_batchable(xm, A_stack, b_stack, left=False)
         return _right_env_stack(x, A_stack, b_stack, masks[1:])
 
     def left_envs(x):
         if fuse_envs:
             xm = x * masks[1:][:, None, None, :]
-            return left_env_chain_fused(xm, A_stack, b_stack,
-                                        interpret=pallas_interpret())
+            return env_chain_batchable(xm, A_stack, b_stack, left=True)
         return _left_env_stack(x, A_stack, b_stack, masks[1:])
 
     x = x_stack

@@ -117,7 +117,7 @@ def als_sweeps_b(A_stack, b_batch, x_batch, masks, sweep_count: int = 2,
                                         env_chain_fused_batched)
 
     fuse_envs = (solver == "cg_fused"
-                 and can_fuse_env_chain(dt, d, R, RA, n))
+                 and can_fuse_env_chain(dt, d, R, RA, n, Rb=Rb))
 
     def right_envs(x):
         if fuse_envs:

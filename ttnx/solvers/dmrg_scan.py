@@ -291,16 +291,15 @@ def dmrg_eig_sweep(A_stack, x_stack, mask_stack, tol, degen_tol,
     dt = x_stack.dtype
     RA = A_stack.shape[1]
 
-    from ttnx.kernels.dispatch import pallas_interpret
-    from ttnx.kernels.env_chain import can_fuse_env_chain, env_chain_A_fused
+    from ttnx.kernels.env_chain import (can_fuse_env_chain,
+                                        env_chain_A_batchable)
 
-    fuse_envs = can_fuse_env_chain(dt, d, R, RA, n)
+    fuse_envs = can_fuse_env_chain(dt, d, R, RA, n, Rb=0)
 
     def right_envs(x, masks):
         if fuse_envs:
             xm = x * masks[1:][:, None, None, :]
-            return env_chain_A_fused(xm, A_stack, left=False,
-                                     interpret=pallas_interpret())
+            return env_chain_A_batchable(xm, A_stack, left=False)
         init = _boundary_env(R, RA, dt)
 
         def step(carry, inp):
@@ -339,8 +338,7 @@ def dmrg_eig_sweep(A_stack, x_stack, mask_stack, tol, degen_tol,
     def left_envs(x, masks):
         if fuse_envs:
             xm = x * masks[1:][:, None, None, :]
-            return env_chain_A_fused(xm, A_stack, left=True,
-                                     interpret=pallas_interpret())
+            return env_chain_A_batchable(xm, A_stack, left=True)
         init = _boundary_env(R, RA, dt)
 
         def step(carry, inp):
