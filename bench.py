@@ -821,6 +821,65 @@ def bench_batched_cross_device():
     return B / best, max_eps
 
 
+def bench_dmrg_cross_device(B: int = 8):
+    """Device number for the two-site DMRG-cross ON the chip (VERDICT r4
+    #4): batched Wishart Laplace-transform integrands through
+    ``dmrg_cross_device`` — superblock sampling + Gram/eigh truncated SVD
+    (the remote toolchain rejects real SVD) + maxvol pivots, one jitted
+    program, accuracy-gated on the 500-point validation rel-L2.
+    Reference: /root/reference/src/tt_cross_interpolation.jl:523-658."""
+    from functools import partial
+
+    from ttnx.cross.device import dmrg_cross_device
+
+    d = 5
+    p = (d + 2) / 2
+    Sigma = np.array([
+        [1.0, 0.3, 0.2, 0.1, 0.18],
+        [0.3, 1.2, 0.25, 0.15, 0.22],
+        [0.2, 0.25, 0.9, 0.2, 0.28],
+        [0.1, 0.15, 0.2, 1.1, 0.19],
+        [0.18, 0.22, 0.28, 0.19, 1.05],
+    ])
+    sigma = jnp.asarray(2 * Sigma, jnp.float32)
+    grid = jnp.linspace(0.0, 2.0, 8).astype(jnp.float32)
+
+    def f_idx(theta, indices):
+        coords = jnp.take(grid, indices)
+        s = jnp.sqrt(jnp.maximum(coords, 0.0))
+        Msym = (jnp.eye(d, dtype=jnp.float32)[None]
+                + theta * s[:, :, None] * sigma[None] * s[:, None, :])
+        w = jnp.linalg.eigvalsh(Msym)
+        return jnp.prod(w, axis=1) ** (-p)
+
+    thetas = jnp.linspace(0.5, 1.5, B).astype(jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(4), B)
+
+    def run_one(theta, key):
+        fn = dmrg_cross_device(partial(f_idx, theta), [8] * d, rank=8,
+                               n_iters=3, dtype=jnp.float32, n_val=500)
+        return fn(key)
+
+    @jax.jit
+    def bfn(thetas, keys):
+        with jax.default_matmul_precision("highest"):
+            return jax.vmap(run_one)(thetas, keys)
+
+    cores, eps = bfn(thetas, keys)
+    _sync(eps)
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        cores, eps = bfn(thetas, keys)
+        _sync(eps)
+        best = min(best or 9e9, time.perf_counter() - t0)
+    max_eps = float(jnp.max(eps[:, -1]))
+    if not np.isfinite(max_eps) or max_eps > 1e-3:
+        raise RuntimeError(
+            f"device dmrg-cross inaccurate: max val_eps={max_eps:.2e}")
+    return B / best, max_eps
+
+
 def bench_als_sweep_d12():
     """One full jitted scan-ALS sweep pass (fwd+bwd) on the d=12 QTT heat
     problem, f32, rmax=16."""
@@ -998,6 +1057,15 @@ def main():
                 extras["batched_cross_val_eps"] = float(f"{eps_c:.2e}")
         except Exception as e:
             extras["batched_cross_error"] = str(e)[:200]
+        try:
+            if over_budget(100):
+                extras["dmrg_cross_skipped_budget"] = True
+            else:
+                cps2, eps2 = timed("dmrg_cross", bench_dmrg_cross_device)
+                extras["dmrg_cross_device_per_s"] = round(cps2, 1)
+                extras["dmrg_cross_rel_l2"] = float(f"{eps2:.2e}")
+        except Exception as e:
+            extras["dmrg_cross_error"] = str(e)[:200]
 
     # --- context extras below this line: first casualties of the budget ---
 

@@ -241,3 +241,45 @@ class TestRemoteSafeInverse:
                                   rng.standard_normal(6)))
         assert np.allclose(np.asarray(_pinv_gram(Ms)),
                            np.linalg.pinv(np.asarray(Ms)), atol=1e-8)
+
+
+class TestGramSVDSubstitute:
+    """The TPU path's Gram/eigh truncated SVD (VERDICT r4 #4) must
+    reproduce LAPACK SVD factors up to gauge — tested on CPU by forcing
+    the TPU branch."""
+
+    def test_matches_svd_both_orientations(self, monkeypatch, rng):
+        from ttnx.cross import device as dev
+
+        monkeypatch.setattr(dev, "_on_tpu", lambda: True)
+        for shape in ((12, 7), (7, 12), (9, 9)):
+            A = jnp.asarray(rng.standard_normal(shape))
+            u, s, vt = dev._svd_desc(A)
+            s_ref = np.linalg.svd(np.asarray(A), compute_uv=False)
+            assert np.allclose(np.asarray(s), s_ref, atol=1e-8)
+            # reconstruction
+            rec = np.asarray((u * s[None, :]) @ vt)
+            assert np.allclose(rec, np.asarray(A), atol=1e-7)
+            # orthonormal factors on the active block
+            r = min(shape)
+            assert np.allclose(np.asarray(u.T @ u)[:r, :r], np.eye(r),
+                               atol=1e-7)
+            assert np.allclose(np.asarray(vt @ vt.T)[:r, :r], np.eye(r),
+                               atol=1e-7)
+
+    def test_dmrg_cross_tpu_branch_accuracy(self, monkeypatch):
+        """Full device DMRG-cross through the forced TPU branch (gram SVD +
+        gram pinv + row-norm maxvol init) on a rank-2 separable function."""
+        from ttnx.cross import device as dev
+
+        monkeypatch.setattr(dev, "_on_tpu", lambda: True)
+        grids = [np.linspace(0, 1, 6)] * 4
+
+        def f(coords):
+            return jnp.exp(-jnp.sum(coords, axis=1)) \
+                + 0.5 * jnp.prod(jnp.sin(coords + 0.3), axis=1)
+
+        tt, eps = dev.tt_cross_device(f, grids, rank=6, n_iters=3,
+                                      n_val=400, method="dmrg",
+                                      dtype=jnp.float64)
+        assert float(eps[-1]) < 1e-8, eps

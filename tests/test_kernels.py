@@ -513,3 +513,77 @@ class TestEnvChainKernels:
             for _ in range(4):
                 x, m, E = dmrg_eig_sweep(A_stack, x, m, tol, tol)
             assert abs(float(Eb[i][-1]) - float(E[-1])) < 1e-3
+
+
+class TestAlsHalfSweepFused:
+    """Whole-half-sweep fused ALS (round 5): parity vs the XLA batched ALS
+    up to the orthogonalization gauge, residual quality, padded invariant."""
+
+    def _problem(self, d=8, rmax=32):
+        import ttnx
+        from ttnx.core.algebra import add_op, scale_op
+        from ttnx.core.canonical import tt_round
+        from ttnx.core.tt import id_tto, r_and_d_to_rks
+        from ttnx.solvers.als_scan import pack_op, pack_tt, rank_masks
+
+        hg = 1.0 / (2 ** d + 1)
+        A = ((-1.0 / hg ** 2) * ttnx.toeplitz_to_qtto(2.0, -1.0, -1.0, d)
+             ).astype(jnp.float32)
+        lhs = add_op(id_tto(d, dtype=jnp.float32), scale_op(-5e-7, A))
+        lhs_stack = pack_op(lhs, max(lhs.ranks))
+        u_rks = r_and_d_to_rks((1,) + (rmax,) * (d - 1) + (1,), (2,) * d,
+                               rmax=rmax)
+        masks = rank_masks(u_rks, rmax, dtype=jnp.float32)
+        u0 = (ttnx.qtt_sin(d, a=hg, b=1 - hg, lam=1.0)
+              + 0.5 * ttnx.qtt_sin(d, a=hg, b=1 - hg, lam=3.0))
+        us = pack_tt(tt_round(u0, max_bond=rmax).astype(jnp.float32), rmax)
+        return lhs_stack, us, masks, u_rks, u0, hg
+
+    def test_parity_and_residual(self):
+        from ttnx.core.decomp import ttv_to_tensor
+        from ttnx.kernels.als_sweep_fused import als_fwd_bwd_fused_batched
+        from ttnx.solvers.als_scan import unpack_tt
+        from ttnx.solvers.als_scan_batched import als_sweeps_b
+
+        lhs_stack, us, masks, u_rks, u0, hg = self._problem()
+        B = 2
+        bb = jnp.broadcast_to(us, (B,) + us.shape)
+        ref = als_sweeps_b(lhs_stack, bb, bb, masks, 2, cg_iters=32,
+                           solver="cg")
+        got = als_fwd_bwd_fused_batched(lhs_stack, bb, bb, masks,
+                                        cg_iters=32, interpret=True)
+
+        def dense(stack):
+            return np.asarray(
+                ttv_to_tensor(unpack_tt(np.asarray(stack), u_rks))
+            ).reshape(-1).astype(np.float64)
+
+        u0d = np.asarray(ttv_to_tensor(u0)).reshape(-1)
+        c = 5e-7 / hg ** 2
+        x0 = dense(got[0])
+        lhs_x = x0 + c * (2 * x0 - np.pad(x0[1:], (0, 1))
+                          - np.pad(x0[:-1], (1, 0)))
+        res = np.linalg.norm(lhs_x - u0d) / np.linalg.norm(u0d)
+        assert res < 1e-5, res
+        pv = (np.linalg.norm(dense(got[1]) - dense(ref[1]))
+              / np.linalg.norm(dense(ref[1])))
+        assert pv < 1e-4, pv
+
+    def test_padded_invariant(self):
+        from ttnx.kernels.als_sweep_fused import als_fwd_bwd_fused_batched
+
+        lhs_stack, us, masks, u_rks, u0, hg = self._problem(d=6, rmax=16)
+        bb = jnp.broadcast_to(us, (2,) + us.shape)
+        got = np.asarray(als_fwd_bwd_fused_batched(
+            lhs_stack, bb, bb, masks, cg_iters=16, interpret=True))
+        m = np.asarray(masks)
+        assert np.abs(got * (1 - m[1:])[None, :, None, None, :]).max() == 0
+        assert np.abs(got * (1 - m[:-1])[None, :, :, None, None]).max() == 0
+
+    def test_gate(self):
+        from ttnx.kernels.als_sweep_fused import can_fuse_half_sweep
+
+        assert can_fuse_half_sweep(jnp.float32, 12, 64, 4, 2, block_b=2)
+        assert not can_fuse_half_sweep(jnp.float64, 12, 64, 4, 2)
+        assert not can_fuse_half_sweep(jnp.float32, 12, 16, 4, 2)
+        assert not can_fuse_half_sweep(jnp.complex64, 12, 64, 4, 2)

@@ -318,12 +318,14 @@ def _kernel_b1(x_ref, b_ref, A_ref, e00_ref, e00b_ref, out_ref, outb_ref,
         Gb = Gb_new
 
 
-@functools.partial(jax.jit, static_argnames=("left", "interpret"))
+@functools.partial(jax.jit, static_argnames=("left", "interpret", "raw"))
 def env_chain_fused_batched(x, A, b, left: bool = False,
-                            interpret: bool = False):
+                            interpret: bool = False, raw: bool = False):
     """Grid-batched env chains: one problem per grid step (``x/b
     (B, d, R, n, R)``, shared ``A``). Returns envs shaped
-    ``(B, d+1, R, RA, R)`` and ``(B, d+1, R, Rb)``."""
+    ``(B, d+1, R, RA, R)`` and ``(B, d+1, R, Rb)``; ``raw=True`` skips the
+    final transpose and returns the kernel-native ``(B, d+1, RA, R, R)``
+    layout (consumed directly by :mod:`ttnx.kernels.als_sweep_fused`)."""
     B, d, R, n, _ = x.shape
     RA = A.shape[1]
     Rb = b.shape[2]
@@ -356,6 +358,8 @@ def env_chain_fused_batched(x, A, b, left: bool = False,
                    jax.ShapeDtypeStruct((B, d + 1, R, Rb), x.dtype)),
         interpret=interpret,
     )(xt, bt2, A2, e00, e00b)
+    if raw:
+        return envs_w, envs_b
     return jnp.transpose(envs_w, (0, 1, 3, 2, 4)), envs_b
 
 
