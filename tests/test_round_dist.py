@@ -186,3 +186,38 @@ def test_cn_step_dist_gram_chain_matches_single_device():
         round_method="gram_chain")
     us = sf(pack(u0))
     assert float(jnp.max(jnp.abs(ud - us))) < 1e-8
+
+
+class TestPipelinedPairRounding:
+    """Pair-pipelined tp rounding (collective/compute overlap structure,
+    VERDICT r4 #7): must equal two independent gram_chain_round_dist
+    calls on the virtual mesh."""
+
+    def test_pair_matches_two_singles(self, key):
+        import ttnx
+        from ttnx.parallel.batch import make_mesh
+        from ttnx.parallel.round_dist import (gram_chain_round_dist,
+                                              gram_chain_round_dist_pair,
+                                              shard_chain)
+        from ttnx.solvers.als_scan import pack_tt, rank_masks
+        from ttnx.solvers.round_scan import round_masks
+
+        d, R, R_out = 6, 16, 4
+        k1, k2 = jax.random.split(key)
+        ys = []
+        for kk in (k1, k2):
+            x = ttnx.rand_tt(kk, (2,) * d, rmax=R, normalise=True)
+            ys.append(pack_tt(x, R))
+        y_pair = jnp.stack(ys)
+        out_rks = round_masks([1] + [R] * (d - 1) + [1], R_out, (2,) * d)
+        masks_out = rank_masks(out_rks, R_out)
+        mesh = make_mesh(dp=1, tp=4, devices=jax.devices()[:4])
+        with mesh:
+            got = gram_chain_round_dist_pair(
+                jax.device_put(y_pair), R_out, masks_out, mesh)
+            refs = [gram_chain_round_dist(shard_chain(ys[q], mesh), R_out,
+                                          masks_out, mesh)
+                    for q in range(2)]
+        for q in range(2):
+            assert np.allclose(np.asarray(got[q]), np.asarray(refs[q]),
+                               atol=1e-12), q

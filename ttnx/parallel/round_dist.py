@@ -29,7 +29,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-__all__ = ["gram_round_dist", "gram_chain_round_dist", "shard_chain",
+__all__ = ["gram_round_dist", "gram_chain_round_dist",
+           "gram_chain_round_dist_pair", "shard_chain",
            "make_cn_step_dist", "tp_rounding_worthwhile"]
 
 
@@ -170,6 +171,100 @@ def _gram_chain_kernel_dist(y_loc, masks_out, *, R_out: int, axis: str):
     last_col = jax.lax.psum(last_col, axis)
     out[d - 1] = jnp.pad(last_col, ((0, 0), (0, 0), (0, R_out - 1)))
     return jnp.stack(out)
+
+
+def _gram_chain_kernel_dist_pipe(y2_loc, masks_out, *, R_out: int,
+                                 axis: str):
+    """Pair-pipelined twin of :func:`_gram_chain_kernel_dist` (VERDICT r4
+    #7: structure the distributed rounding for collective/compute
+    overlap). The Gram recurrence is strictly sequential WITHIN a chain —
+    every op at site k-1 consumes the site-k psum — so the only honest
+    overlap source is an INDEPENDENT problem: this kernel rounds TWO
+    chains with their site loops interleaved, so in program order every
+    collective of chain A is followed by chain B's independent partial
+    products (and vice versa). XLA's async collectives (start/done pairs)
+    can then hide each psum/psum_scatter/all_gather behind the other
+    chain's matmuls on real ICI; on the one reachable chip this is a
+    structure we can only parity-test (the virtual CPU mesh serializes
+    collectives), which docs/design.md records. ``y2_loc (2, d, R, n,
+    R/p)``."""
+    P2, d, R, n, R_loc = y2_loc.shape
+    idx = jax.lax.axis_index(axis)
+    dt = y2_loc.dtype
+
+    # ---- backward Gram sweeps, interleaved ------------------------------
+    G = [jnp.zeros((R, R), dtype=dt).at[0, 0].set(1.0) for _ in range(P2)]
+    Gs = [[None] * d for _ in range(P2)]
+    for q in range(P2):
+        Gs[q][d - 1] = G[q]
+    for k in range(d - 1, 0, -1):
+        # stage 1: local partials (compute) then re-shards (collective) —
+        # chain q's psum_scatter is adjacent to chain q+1's einsum
+        t_loc = [None] * P2
+        for q in range(P2):
+            G_rows = jax.lax.dynamic_slice_in_dim(G[q], idx * R_loc, R_loc,
+                                                  axis=0)
+            t_part = jnp.einsum("anb,bc->anc", y2_loc[q, k], G_rows)
+            t_loc[q] = jax.lax.psum_scatter(t_part, axis,
+                                            scatter_dimension=2, tiled=True)
+        # stage 2: Gram partials + psums, likewise interleaved
+        for q in range(P2):
+            G_part = jnp.einsum("anc,bnc->ab", t_loc[q],
+                                jnp.conj(y2_loc[q, k]))
+            G[q] = jax.lax.psum(G_part, axis)
+            Gs[q][k - 1] = G[q]
+
+    # ---- forward truncation sweeps, interleaved -------------------------
+    out = [[None] * d for _ in range(P2)]
+    T2 = [jnp.zeros((R_out, R), dtype=dt).at[0, 0].set(1.0)
+          for _ in range(P2)]
+    for k in range(d - 1):
+        cm_loc = [None] * P2
+        t_half = [None] * P2
+        for q in range(P2):
+            c_loc = jnp.einsum("ob,bnc->onc", T2[q], y2_loc[q, k])
+            cm_loc[q] = c_loc.reshape(R_out * n, R_loc)
+            G_rows = jax.lax.dynamic_slice_in_dim(Gs[q][k], idx * R_loc,
+                                                  R_loc, axis=0)
+            t_half[q] = jax.lax.psum(cm_loc[q] @ G_rows, axis)
+        m_r = masks_out[k + 1]
+        for q in range(P2):
+            t_cols = jax.lax.dynamic_slice_in_dim(t_half[q], idx * R_loc,
+                                                  R_loc, axis=1)
+            B = jax.lax.psum(t_cols @ jnp.conj(cm_loc[q]).T, axis)
+            B = 0.5 * (B + jnp.conj(B).T)
+            w, V = jnp.linalg.eigh(B)
+            u_k = V[:, ::-1][:, :R_out] * m_r[None, :R_out].astype(V.dtype)
+            out[q][k] = u_k.reshape(R_out, n, R_out)
+            t2_loc = jnp.conj(u_k).T @ cm_loc[q]
+            T2[q] = jax.lax.all_gather(t2_loc, axis, axis=1, tiled=True)
+            T2[q] = T2[q] * m_r[:R_out, None].astype(T2[q].dtype)
+    for q in range(P2):
+        c_loc = jnp.einsum("ob,bnc->onc", T2[q], y2_loc[q, d - 1])
+        last_col = c_loc[:, :, 0:1] * (idx == 0).astype(dt)
+        last_col = jax.lax.psum(last_col, axis)
+        out[q][d - 1] = jnp.pad(last_col, ((0, 0), (0, 0),
+                                           (0, R_out - 1)))
+    return jnp.stack([jnp.stack(o) for o in out])
+
+
+def gram_chain_round_dist_pair(y_pair, R_out: int, masks_out, mesh: Mesh,
+                               axis: str = "tp"):
+    """Round TWO padded chains ``y_pair (2, d, R, n, R)`` with the
+    pair-pipelined tp-sharded Gram-chain kernel (collective/compute
+    overlap structure; see :func:`_gram_chain_kernel_dist_pipe`). Parity:
+    equals two independent :func:`gram_chain_round_dist` calls."""
+    _, d, R, n, _ = y_pair.shape
+    p = mesh.shape[axis]
+    if R % p != 0:
+        raise ValueError(f"padded rank {R} not divisible by {axis}={p}")
+    kernel = partial(_gram_chain_kernel_dist_pipe, R_out=R_out, axis=axis)
+    fn = shard_map(
+        kernel, mesh=mesh,
+        in_specs=(P(None, None, None, None, axis), P()),
+        out_specs=P(),
+        check_vma=False)
+    return fn(y_pair, masks_out)
 
 
 def gram_chain_round_dist(y, R_out: int, masks_out, mesh: Mesh,
