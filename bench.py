@@ -702,14 +702,18 @@ def bench_batched_als_r64(batch: int = 256):
     b_batch = jnp.broadcast_to(us, (batch,) + us.shape)
     x_batch = b_batch
 
-    # preference ladder (each rung measured 2026-08-21): explicit-batch
-    # ALS with the grid-batched matrix-free CG kernel; then vmap over the
-    # single-problem kernel (347 solves/s when its compile succeeds, but
-    # vmap-over-pallas is session-flaky on the remote toolchain); then the
-    # XLA matrix-free CG (92 solves/s floor)
+    # preference ladder (each rung measured 2026-08-21): the round-5
+    # single-kernel fused sweep pair first; then explicit-batch ALS with
+    # the grid-batched matrix-free CG kernel (round-4 best); then vmap
+    # rungs as compile-robust fallbacks. The top TWO rungs are both TIMED
+    # (one quick pass each) and the faster one is kept — a rung that
+    # compiles but regresses must not win on ladder order alone.
+    from ttnx.kernels.als_sweep_fused import als_fwd_bwd_fused_batched
     from ttnx.solvers.als_scan_batched import als_sweeps_b
 
     candidates = [
+        ("sweep_pair_fused", jax.jit(lambda bb, xb: als_fwd_bwd_fused_batched(
+            lhs_stack, bb, xb, masks, cg_iters=32))),
         ("explicit_kernel", jax.jit(lambda bb, xb: als_sweeps_b(
             lhs_stack, bb, xb, masks, 2, cg_iters=32, solver="cg_fused"))),
         ("vmap_kernel", jax.jit(lambda bb, xb: jax.vmap(
@@ -720,20 +724,25 @@ def bench_batched_als_r64(batch: int = 256):
             lambda b, x: als_sweeps(lhs_stack, b, x, masks, 2, solver="cg",
                                     cg_iters=32))(bb, xb))),
     ]
-    bfn = None
-    impl = None
+    timed_rungs = []
     err0 = None
     for name, cand in candidates:
         try:
             with jax.default_matmul_precision("highest"):
                 out = cand(b_batch, x_batch)
                 _sync(out)
-            bfn, impl = cand, name
-            break
+            t0 = time.perf_counter()
+            with jax.default_matmul_precision("highest"):
+                out = cand(b_batch, x_batch)
+            _sync(out)
+            timed_rungs.append((time.perf_counter() - t0, name, cand))
+            if len(timed_rungs) == 2:
+                break  # two compiling rungs are enough to pick from
         except Exception as e:  # remote compile rejection — try next rung
             err0 = err0 or f"{name}: {str(e)[:120]}"
-    if bfn is None:
+    if not timed_rungs:
         raise RuntimeError(f"no batched r64 path compiled: {err0}")
+    _, impl, bfn = min(timed_rungs)
     best = None
     for _ in range(3):
         t0 = time.perf_counter()

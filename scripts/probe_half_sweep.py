@@ -63,9 +63,9 @@ def main():
                           - np.pad(x0[:-1], (1, 0)))
         return float(np.linalg.norm(lhs_x - u0d) / np.linalg.norm(u0d))
 
-    for B, bt, ns in ((256, 4, (24, 8)), (256, 2, (24, 8)),
-                      (256, 4, (14, 6)), (1024, 4, (24, 8)),
-                      (64, 4, (24, 8))):
+    for B, bt, ns in ((256, 2, (24, 8)), (256, 1, (24, 8)),
+                      (256, 2, (14, 6)), (1024, 2, (24, 8)),
+                      (64, 2, (24, 8))):
         bb = jnp.broadcast_to(us, (B,) + us.shape)
         try:
             fn = jax.jit(lambda b_, x_, bt=bt, ns=ns:
@@ -91,7 +91,7 @@ def main():
                  gflops=round(B * fa / best / 1e9, 1),
                  residual=f"{gate(out):.2e}")
         except Exception as e:
-            emit(f"fused_B{B}_bt{bt}_ns{ns[0]}", error=str(e)[:800])
+            emit(f"fused_B{B}_bt{bt}_ns{ns[0]}", error_tail=str(e)[-1200:])
 
     # round-4 best path, same session, for an honest in-session ratio
     for B in (256,):

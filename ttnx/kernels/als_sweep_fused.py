@@ -15,8 +15,10 @@ batch, ``block_b`` problems per grid step with batched dots: the
 single-problem form compiled but ran latency-bound at ~300 GF/s, measured
 2026-08-21 — small serialized (R, R) dots; the batched-block form is the
 same fix local_cg_mf uses). A full forward+backward ALS pass over a batch
-of 256 rank-64 problems becomes 3 kernel dispatches (right-env chain,
-forward, backward) instead of ~500.
+of 256 rank-64 problems becomes ONE kernel dispatch instead of ~500 (the
+env-chain build is fused in too: passing the (d+1)-site env stacks
+between split kernels as operands made Mosaic's grid pipeliner
+double-buffer them and blew the 16 MB scoped-VMEM limit).
 
 QR cannot run on the MXU, so orthogonalization is replaced by the
 **Newton–Schulz polar form**: ``Q = V G^{-1/2}``, ``T = G^{1/2}`` with
@@ -54,23 +56,26 @@ __all__ = ["als_fwd_bwd_fused_batched", "can_fuse_half_sweep"]
 
 
 def can_fuse_half_sweep(dtype, d: int, R: int, RA: int, n: int,
-                        block_b: int = 4) -> bool:
-    """VMEM gate (per problem block): b stack + env stacks + working set;
-    real f32 only, R >= 32 (below that the XLA path is fine and the
-    (R, R) dots waste the MXU)."""
+                        block_b: int = 2) -> bool:
+    """Scoped-VMEM gate for the single-kernel sweep pair: double-buffered
+    x/b blocks + output block + single-buffered internal env stacks +
+    working set + shared mask stacks, against the RAISED 100 MB budget the
+    pallas_call requests (the 16 MB default OOMed at bt=1 grid=256; the
+    v5e has 128 MB physical VMEM). Real f32 only, R >= 32 (below that the
+    XLA path is fine and (R, R) dots waste the MXU)."""
     if jnp.issubdtype(jnp.dtype(dtype), jnp.complexfloating):
         return False
     if jnp.dtype(dtype) != jnp.float32:
         return False
     itemsize = 4
     per_problem = itemsize * (
-        2 * d * n * R * R            # b stack + x outputs
-        + 2 * (d + 1) * RA * R * R   # Renv/Lenv stacks
-        + 2 * (d + 1) * R * R        # b-env stacks
-        + 10 * n * R * R             # CG iterates + scratch
+        2 * 2 * d * n * R * R        # x + b input blocks, double-buffered
+        + 2 * d * n * R * R          # output block, double-buffered
+        + 2 * (d + 1) * (RA + 1) * R * R   # internal env stacks (single)
+        + 12 * n * R * R             # CG iterates + scratch
     )
     shared = itemsize * 3 * (d + 1) * R * R
-    return R >= 32 and block_b * per_problem + shared <= 12 * 1024 * 1024
+    return R >= 32 and block_b * per_problem + shared <= 80 * 1024 * 1024
 
 
 def _bdot(a, b, dims):
@@ -105,7 +110,8 @@ def _ns_polar(G, eye, iters: int):
     return Y * sq, Z * (1.0 / sq)
 
 
-def _cg_site(L, Rcarry, Ak_row, rhs, m2, n: int, RA: int, iters: int):
+def _cg_site(L, Rcarry, Ak_row, rhs, m2, n: int, RA: int, iters: int,
+             x0=None):
     """Matrix-free CG on one site's masked local systems for a block of
     problems. ``L``/``Rcarry`` are length-RA lists of (bt, R, R) env
     slices [bra, ket]; ``Ak_row(Wi, Jw)`` an SMEM scalar; ``rhs`` a
@@ -137,8 +143,13 @@ def _cg_site(L, Rcarry, Ak_row, rhs, m2, n: int, RA: int, iters: int):
             acc = s if acc is None else acc + s
         return acc
 
-    x = tuple(jnp.zeros_like(r) for r in rhs)
-    r = tuple(rhs)
+    if x0 is None:
+        x = tuple(jnp.zeros_like(r) for r in rhs)
+        r = tuple(rhs)
+    else:
+        x = tuple(x0[i] * m2[None] for i in range(n))
+        ax = apply_k(x)
+        r = tuple(rhs[i] - ax[i] for i in range(n))
     p = r
     rs = pdot(r, r)
 
@@ -199,41 +210,91 @@ def _orth_rows(V, dpad, m2, eye, n: int, it1: int, it2: int):
     return Q, T
 
 
-def _fwd_kernel(b_ref, A_ref, Renv_ref, Rb_ref, mrow_ref, mcol_ref,
-                dpad_ref, eye_ref, e00_ref, e00b_ref,
-                lenv_ref, lbenv_ref, x0_ref, *,
-                d: int, R: int, RA: int, n: int, bt: int, cg_iters: int,
-                ns1: int, ns2: int):
-    """Forward half-sweep for a block of ``bt`` problems. Solves sites
-    0..d-2, emits the left-env stacks of the new cores (lenv[k] covers
-    sites 0..k-1) and the new site-0 core; the site-(d-1) core is never
-    consumed by the backward sweep."""
+def _sweep_pair_kernel(x_ref, b_ref, A_ref, mrow_ref, mcol_ref,
+                       dpad_ref, eye_ref, e00_ref, e00b_ref,
+                       out_ref, *, d: int, R: int, RA: int, n: int,
+                       bt: int, cg_iters: int, ns1: int, ns2: int):
+    """The WHOLE forward+backward ALS pass (env-chain build included) for
+    a block of ``bt`` problems in one kernel.
+
+    Everything between the x/b inputs and the solved-stack output — the
+    right-env chain, both half-sweeps' local solves, orthogonalizations
+    and env carries — lives as single-buffered in-kernel values. The
+    earlier 3-kernel split (env chain / forward / backward) passed the
+    (d+1)-site env stacks through HBM as kernel operands, and Mosaic's
+    grid pipeliner double-buffers operands: measured scoped-VMEM OOM
+    29.25M (bt=4) / 18.40M (bt=2) vs the 16M limit. Fused, the env
+    stacks are internal and the operand set is just x and b."""
     eye = eye_ref[:]
     e00 = e00_ref[:]
     e00b = e00b_ref[:]
     zero = jnp.zeros((bt, R, R), jnp.float32)
 
+    def Ak_row(k):
+        def row(wi, jw, k=k):
+            return A_ref[k, wi, jw]
+        return row
+
+    # ---- right env chain from the input state (masked per site) --------
+    G = [zero + e00[None] if w == 0 else zero for w in range(RA)]
+    Gb = zero + e00b[None]
+    Renvs = [None] * (d + 1)
+    Rbs = [None] * (d + 1)
+    Renvs[d] = G
+    Rbs[d] = Gb
+    for k in range(d - 1, 0, -1):  # envs[0] is never consumed
+        xk = [x_ref[:, k, j] * mcol_ref[k + 1][None] for j in range(n)]
+        s = [[_bdot(xk[j], G[w], ((2,), (2,))) for w in range(RA)]
+             for j in range(n)]
+        G_new = []
+        for W in range(RA):
+            acc = None
+            for i in range(n):
+                m = None
+                for j in range(n):
+                    for w in range(RA):
+                        term = A_ref[k, W * n + i, j * RA + w] * s[j][w]
+                        m = term if m is None else m + term
+                t = _bdot(xk[i], m, ((2,), (2,)))
+                acc = t if acc is None else acc + t
+            G_new.append(acc)
+        Gb_new = None
+        for i in range(n):
+            sb = _bdot(b_ref[:, k, i], Gb, ((2,), (2,)))
+            tb = _bdot(xk[i], sb, ((2,), (2,)))
+            Gb_new = tb if Gb_new is None else Gb_new + tb
+        Renvs[k] = G_new
+        Rbs[k] = Gb_new
+        G = G_new
+        Gb = Gb_new
+
+    # ---- forward half-sweep: sites 0..d-2, left envs carried -----------
     L = [zero + e00[None] if W == 0 else zero for W in range(RA)]
     Lb = zero + e00b[None]
-    for W in range(RA):
-        lenv_ref[:, 0, W] = L[W]
-    lbenv_ref[:, 0] = Lb
-
+    Lenvs = [None] * d
+    Lbs = [None] * d
+    Lenvs[0] = L
+    Lbs[0] = Lb
     x0_new = None
+    fwd_Q = [None] * (d - 1)
+    T_prev = None
     for k in range(d - 1):
         m2 = mrow_ref[k] * mcol_ref[k + 1]
         bk = [b_ref[:, k, i] for i in range(n)]
-        Renv = [Renv_ref[:, k + 1, w] for w in range(RA)]
-        Rb_env = Rb_ref[:, k + 1]
         t1 = [_bdot(Lb, bk[i], ((2,), (1,))) for i in range(n)]
-        rhs = [_bdot(t1[i], Rb_env, ((2,), (2,))) * m2[None]
+        rhs = [_bdot(t1[i], Rbs[k + 1], ((2,), (2,))) * m2[None]
                for i in range(n)]
-
-        def Ak_row(wi, jw, k=k):
-            return A_ref[k, wi, jw]
-
-        V = _cg_site(L, Renv, Ak_row, rhs, m2, n, RA, cg_iters)
-        Q, _T = _orth_cols(V, dpad_ref[k + 1], m2, eye, n, ns1, ns2)
+        # warm start: the CURRENT iterate's site-k core, i.e. the input
+        # core with the previous site's T factor transported in
+        if T_prev is None:
+            warm = [x_ref[:, k, i] for i in range(n)]
+        else:
+            warm = [_bdot(T_prev, x_ref[:, k, i], ((2,), (1,)))
+                    for i in range(n)]
+        V = _cg_site(L, Renvs[k + 1], Ak_row(k), rhs, m2, n, RA, cg_iters,
+                     x0=warm)
+        Q, T_prev = _orth_cols(V, dpad_ref[k + 1], m2, eye, n, ns1, ns2)
+        fwd_Q[k] = Q
         # env updates with the new core
         L_new = [None] * RA
         for i in range(n):
@@ -249,46 +310,36 @@ def _fwd_kernel(b_ref, A_ref, Renv_ref, Rb_ref, mrow_ref, mcol_ref,
         for i in range(n):
             tb = _bdot(Q[i], t1[i], ((1,), (1,)))
             Lb_new = tb if Lb_new is None else Lb_new + tb
-        for W in range(RA):
-            lenv_ref[:, k + 1, W] = L_new[W]
-        lbenv_ref[:, k + 1] = Lb_new
+        if k + 1 < d:
+            Lenvs[k + 1] = L_new
+            Lbs[k + 1] = Lb_new
         L = L_new
         Lb = Lb_new
         if k == 0:
             x0_new = Q
-    for i in range(n):
-        x0_ref[:, i] = x0_new[i]
 
-
-def _bwd_kernel(b_ref, A_ref, Lenv_ref, Lb_ref, x0_ref, mrow_ref,
-                mcol_ref, dpad_ref, eye_ref, e00_ref, e00b_ref,
-                out_ref, *, d: int, R: int, RA: int, n: int, bt: int,
-                cg_iters: int, ns1: int, ns2: int):
-    """Backward half-sweep for a block of ``bt`` problems: solves sites
-    d-1..1 carrying the right envs of the new cores; absorbs the final T
-    into the (forward-produced) site-0 core."""
-    eye = eye_ref[:]
-    e00 = e00_ref[:]
-    e00b = e00b_ref[:]
-    zero = jnp.zeros((bt, R, R), jnp.float32)
-
+    # ---- backward half-sweep: sites d-1..1, right envs carried ---------
     Renv = [zero + e00[None] if w == 0 else zero for w in range(RA)]
     Rb_c = zero + e00b[None]
     T_last = zero + eye[None]
+    T_bwd = None
     for k in range(d - 1, 0, -1):
         m2 = mrow_ref[k] * mcol_ref[k + 1]
         bk = [b_ref[:, k, i] for i in range(n)]
-        L = [Lenv_ref[:, k, W] for W in range(RA)]
-        Lb = Lb_ref[:, k]
-        t1 = [_bdot(Lb, bk[i], ((2,), (1,))) for i in range(n)]
+        t1 = [_bdot(Lbs[k], bk[i], ((2,), (1,))) for i in range(n)]
         rhs = [_bdot(t1[i], Rb_c, ((2,), (2,))) * m2[None]
                for i in range(n)]
-
-        def Ak_row(wi, jw, k=k):
-            return A_ref[k, wi, jw]
-
-        V = _cg_site(L, Renv, Ak_row, rhs, m2, n, RA, cg_iters)
+        if k == d - 1:
+            # current core at d-1 is T_fwd_final @ x_in[d-1]
+            warm = [_bdot(T_prev, x_ref[:, k, i], ((2,), (1,)))
+                    for i in range(n)]
+        else:
+            warm = [_bdot(fwd_Q[k][i], T_bwd, ((2,), (1,)))
+                    for i in range(n)]
+        V = _cg_site(Lenvs[k], Renv, Ak_row(k), rhs, m2, n, RA, cg_iters,
+                     x0=warm)
         Q, T = _orth_rows(V, dpad_ref[k], m2, eye, n, ns1, ns2)
+        T_bwd = T
         # right-env updates with the new core
         s = [[_bdot(Q[j], Renv[w], ((2,), (2,))) for w in range(RA)]
              for j in range(n)]
@@ -316,7 +367,7 @@ def _bwd_kernel(b_ref, A_ref, Lenv_ref, Lb_ref, x0_ref, mrow_ref,
         T_last = T
     m2_0 = mrow_ref[0] * mcol_ref[1]
     for i in range(n):
-        out_ref[:, 0, i] = _bdot(x0_ref[:, i], T_last,
+        out_ref[:, 0, i] = _bdot(x0_new[i], T_last,
                                  ((2,), (1,))) * m2_0[None]
 
 
@@ -325,7 +376,7 @@ def _bwd_kernel(b_ref, A_ref, Lenv_ref, Lb_ref, x0_ref, mrow_ref,
 def als_fwd_bwd_fused_batched(A_stack, b_batch, x_batch, masks,
                               cg_iters: int = 32,
                               ns_iters: tuple = (24, 8),
-                              block_b: int = 4,
+                              block_b: int = 1,
                               interpret: bool = False):
     """One full forward+backward batched ALS pass in 3 kernel dispatches.
 
@@ -334,7 +385,9 @@ def als_fwd_bwd_fused_batched(A_stack, b_batch, x_batch, masks,
     ``masks (d+1, R)`` shared rank profile. Matches
     ``als_sweeps_b(..., sweep_count=2)`` up to the orthogonalization gauge
     (represented vectors agree — parity tests); the gauge here is NS polar
-    (``T = G^{1/2}``) instead of QR.
+    (``T = G^{1/2}``) instead of QR. One pallas_call: grid over problem
+    blocks of ``block_b`` (batched dots — the bt=1 form ran latency-bound
+    at ~300 GF/s; bt>2 with split kernels OOMed scoped VMEM).
     """
     B, d, R, n, _ = x_batch.shape
     RA = A_stack.shape[1]
@@ -343,13 +396,9 @@ def als_fwd_bwd_fused_batched(A_stack, b_batch, x_batch, masks,
     if B % block_b != 0:
         block_b = 1
     dt = x_batch.dtype
-    from ttnx.kernels.env_chain import env_chain_fused_batched
 
-    xm = x_batch * masks[1:][None, :, None, None, :]
-    Renvs, Rb_envs = env_chain_fused_batched(xm, A_stack, b_batch,
-                                             left=False,
-                                             interpret=interpret, raw=True)
-    bt_arr = jnp.transpose(b_batch, (0, 1, 3, 2, 4))   # (B, d, n, R, R)
+    xt_arr = jnp.transpose(x_batch, (0, 1, 3, 2, 4))   # (B, d, n, R, R)
+    bt_arr = jnp.transpose(b_batch, (0, 1, 3, 2, 4))
     A2 = A_stack.reshape(d, RA * n, n * RA)
     eye = jnp.eye(R, dtype=dt)
     mrow = jnp.broadcast_to(masks[:, :, None], (d + 1, R, R))
@@ -370,42 +419,22 @@ def als_fwd_bwd_fused_batched(A_stack, b_batch, x_batch, masks,
     shared = lambda *shape, ms: pl.BlockSpec(
         shape, lambda i: tuple(i * 0 for _ in shape), memory_space=ms)
 
-    fwd = functools.partial(_fwd_kernel, d=d, R=R, RA=RA, n=n, bt=bt,
-                            cg_iters=cg_iters, ns1=ns1, ns2=ns2)
-    Lenvs, Lb_envs, x0_new = pl.pallas_call(
-        fwd,
-        grid=grid,
-        in_specs=[
-            bspec(d, n, R, R),                    # b
-            shared(d, RA * n, n * RA, ms=sspace),  # A scalars
-            bspec(d + 1, RA, R, R),               # Renvs
-            bspec(d + 1, R, R),                   # Rb envs
-            shared(d + 1, R, R, ms=space),        # mrow
-            shared(d + 1, R, R, ms=space),        # mcol
-            shared(d + 1, R, R, ms=space),        # dpad
-            shared(R, R, ms=space),               # eye
-            shared(R, R, ms=space),               # e00
-            shared(R, R, ms=space),               # e00b
-        ],
-        out_specs=(bspec(d + 1, RA, R, R), bspec(d + 1, R, R),
-                   bspec(n, R, R)),
-        out_shape=(jax.ShapeDtypeStruct((B, d + 1, RA, R, R), dt),
-                   jax.ShapeDtypeStruct((B, d + 1, R, R), dt),
-                   jax.ShapeDtypeStruct((B, n, R, R), dt)),
-        interpret=interpret,
-    )(bt_arr, A2, Renvs, Rb_envs, mrow, mcol, dpad, eye, e00, e00b)
-
-    bwd = functools.partial(_bwd_kernel, d=d, R=R, RA=RA, n=n, bt=bt,
-                            cg_iters=cg_iters, ns1=ns1, ns2=ns2)
+    kernel = functools.partial(_sweep_pair_kernel, d=d, R=R, RA=RA, n=n,
+                               bt=bt, cg_iters=cg_iters, ns1=ns1, ns2=ns2)
+    # the default scoped-VMEM budget is a conservative 16 MB; the v5e has
+    # 128 MB of physical VMEM per core, and this kernel's env stacks +
+    # pipeline buffers measured 17.04M (bt=1, grid=256) / 21.25M (bt=2) —
+    # raise the budget instead of shrinking the fusion
+    params = (None if interpret else
+              pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024))
     x_out = pl.pallas_call(
-        bwd,
+        kernel,
         grid=grid,
+        compiler_params=params,
         in_specs=[
+            bspec(d, n, R, R),                    # x
             bspec(d, n, R, R),                    # b
             shared(d, RA * n, n * RA, ms=sspace),  # A scalars
-            bspec(d + 1, RA, R, R),               # Lenvs
-            bspec(d + 1, R, R),                   # Lb envs
-            bspec(n, R, R),                       # new site-0 core
             shared(d + 1, R, R, ms=space),        # mrow
             shared(d + 1, R, R, ms=space),        # mcol
             shared(d + 1, R, R, ms=space),        # dpad
@@ -416,5 +445,5 @@ def als_fwd_bwd_fused_batched(A_stack, b_batch, x_batch, masks,
         out_specs=bspec(d, n, R, R),
         out_shape=jax.ShapeDtypeStruct((B, d, n, R, R), dt),
         interpret=interpret,
-    )(bt_arr, A2, Lenvs, Lb_envs, x0_new, mrow, mcol, dpad, eye, e00, e00b)
+    )(xt_arr, bt_arr, A2, mrow, mcol, dpad, eye, e00, e00b)
     return jnp.transpose(x_out, (0, 1, 3, 2, 4))
