@@ -85,6 +85,20 @@ def _bdot(a, b, dims):
                                precision=jax.lax.Precision.HIGHEST)
 
 
+def _bdot16(a, b, dims):
+    """bf16-operand batched dot with f32 accumulation. Mosaic's f32 dots
+    are NON-pipelined (~3.2 us each at 64^3 with zero overlap even across
+    independent chains — micro-probes 2026-08-21); bf16-operand dots
+    pipeline. Single-pass bf16 costs ~4e-3 relative per contraction, so
+    callers use this ONLY on residual-sized quantities (iterative
+    refinement): the error then lands at ~4e-3 * |increment| / |x|."""
+    return jax.lax.dot_general(a.astype(jnp.bfloat16),
+                               b.astype(jnp.bfloat16),
+                               (dims, ((0,), (0,))),
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.DEFAULT)
+
+
 def _fsum(x):
     """Per-problem (bt, 1, 1) keepdims scalar (Mosaic rejects the
     flattening reshape a plain sum would need)."""
@@ -92,48 +106,124 @@ def _fsum(x):
     return jnp.sum(s, axis=1, keepdims=True)
 
 
-def _ns_polar(G, eye, iters: int):
+def _ns_polar(G, eye, iters: int, f32_tail: int = 2, mp: bool = False):
     """Coupled Newton–Schulz: (G^{1/2}, G^{-1/2}) for a batch of SPD ``G``
     (bt, R, R), regularized on padded directions by the caller. ``eye``
-    is the shared (R, R) identity."""
+    is the shared (R, R) identity.
+
+    ``mp=True``: bf16 iterations + ``f32_tail`` unrolled HIGHEST
+    iterations contracting the pairing residual quadratically
+    (4e-3 -> 1.6e-5 -> 2.6e-10) — measured slower in-kernel (see
+    _cg_site); default all-HIGHEST."""
     fr = jnp.sqrt(_fsum(G * G))
     sq = jnp.sqrt(fr)
     Y = G * (1.0 / fr)
     Z = jnp.zeros_like(G) + eye[None]
 
+    dot = _bdot16 if mp else _bdot
+
     def body(_, state):
         Y, Z = state
-        T = 1.5 * eye[None] - 0.5 * _bdot(Z, Y, ((2,), (1,)))
-        return (_bdot(Y, T, ((2,), (1,))), _bdot(T, Z, ((2,), (1,))))
+        T = 1.5 * eye[None] - 0.5 * dot(Z, Y, ((2,), (1,)))
+        return (dot(Y, T, ((2,), (1,))), dot(T, Z, ((2,), (1,))))
 
     Y, Z = jax.lax.fori_loop(0, iters, body, (Y, Z))
+    if mp:
+        for _ in range(f32_tail):
+            T = 1.5 * eye[None] - 0.5 * _bdot(Z, Y, ((2,), (1,)))
+            Y = _bdot(Y, T, ((2,), (1,)))
+            Z = _bdot(T, Z, ((2,), (1,)))
     return Y * sq, Z * (1.0 / sq)
 
 
-def _cg_site(L, Rcarry, Ak_row, rhs, m2, n: int, RA: int, iters: int,
-             x0=None):
-    """Matrix-free CG on one site's masked local systems for a block of
-    problems. ``L``/``Rcarry`` are length-RA lists of (bt, R, R) env
-    slices [bra, ket]; ``Ak_row(Wi, Jw)`` an SMEM scalar; ``rhs`` a
-    length-n list of masked (bt, R, R) slices; ``m2`` the shared (R, R)
-    bond mask."""
+def _fold_A_env(Renv, Ak_row, n: int, RA: int):
+    """Per-site pre-fold of the MPO scalars into concatenated right-env
+    operands: ``RAcat[i][J] (bt, RA*R, R)`` with sublane rows (W*R + c)
+    and ``RAcat[i][J][(W,c), d] = sum_w A[(W,i),(J,w)] Renv[w][c, d]``.
+    n^2*RA^2 scalar*tile ops + n^2 sublane concats, ONCE per site —
+    the same combination done inside every CG apply was ~128 VPU ops
+    per apply and dominated the kernel's op-issue budget (micro-probe
+    2026-08-21: in-kernel ops are issue-bound at ~0.1-0.5 us each,
+    independent of size up to 128^3)."""
+    out = []
+    for i in range(n):
+        row = []
+        for J in range(n):
+            slices = []
+            for W in range(RA):
+                acc = None
+                for w in range(RA):
+                    term = Ak_row(W * n + i, J * RA + w) * Renv[w]
+                    acc = term if acc is None else acc + term
+                slices.append(acc)
+            row.append(jnp.concatenate(slices, axis=1))
+        out.append(row)
+    return out
 
-    def apply_k(p):
-        pm = [p[J] * m2[None] for J in range(n)]
-        s = [[_bdot(pm[J], Rcarry[w], ((2,), (2,))) for w in range(RA)]
-             for J in range(n)]
+
+def _cg_site(L, RAcat, rhs, m2, n: int, RA: int, iters: int, x0=None,
+             refine: int = 0, polish: int = 0, mp: bool = False):
+    """Matrix-free CG on one site's masked local systems for a block of
+    problems. ``L``: length-RA list of (bt, R, R) env slices [bra, ket];
+    ``RAcat``: the pre-folded right-env operands from :func:`_fold_A_env`;
+    ``rhs``: length-n list of masked (bt, R, R) slices; ``m2``: shared
+    (R, R) bond mask. ``x0``: warm start (the transported current
+    iterate — one extra operator apply buys the accuracy of ~2x the
+    iteration count: cold CG-32 plateaued the sweep residual at 2.5e-5 vs
+    the QR path's 2.2e-6; warm CG-32 matches it).
+
+    The apply is 2n wide dots (K=R, 256 sublane rows) + n*RA K=R dots +
+    adds — ~20 issue slots instead of ~145. No per-apply masking: every
+    env is built from masked cores, so padded rows/cols of each dot
+    output are exactly zero; the returned iterate is re-masked once.
+
+    ``mp=True`` selects a mixed-precision schedule (bf16 main loop +
+    bf16 refine round + f32 polish — iterative refinement on the
+    warm-start correction). MEASURED SLOWER on the chip (36 vs 72
+    solves/s at B=256, 2026-08-21): in-kernel cost is op-ISSUE count and
+    a bf16 dot still occupies an issue slot while the casts add more —
+    kept for documentation/experiments; the default is all-f32-HIGHEST
+    with the warm start carrying the accuracy."""
+    R = rhs[0].shape[1]
+    L16 = [l.astype(jnp.bfloat16) for l in L]
+    RAcat16 = [[c.astype(jnp.bfloat16) for c in row] for row in RAcat]
+
+    def raw16(a16, b16, dims):
+        return jax.lax.dot_general(a16, b16, (dims, ((0,), (0,))),
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.DEFAULT)
+
+    def apply32(p):
         out = []
         for i in range(n):
+            # u[(W,c), b] = sum_d RAcat[i][J][(W,c), d] p[J][b, d]
+            u = None
+            for J in range(n):
+                t = _bdot(RAcat[i][J], p[J], ((2,), (2,)))
+                u = t if u is None else u + t
             acc = None
             for W in range(RA):
-                m = None
-                for J in range(n):
-                    for w in range(RA):
-                        term = Ak_row(W * n + i, J * RA + w) * s[J][w]
-                        m = term if m is None else m + term
-                t = _bdot(L[W], m, ((2,), (1,)))
+                # out_i[a, c] += sum_b L[W][a, b] u[W block][c, b]
+                t = _bdot(L[W], u[:, W * R:(W + 1) * R, :], ((2,), (2,)))
                 acc = t if acc is None else acc + t
-            out.append(acc * m2[None] + (1.0 - m2[None]) * p[i])
+            out.append(acc)
+        return tuple(out)
+
+    def apply16(p):
+        p16 = tuple(pi.astype(jnp.bfloat16) for pi in p)
+        out = []
+        for i in range(n):
+            u = None
+            for J in range(n):
+                t = raw16(RAcat16[i][J], p16[J], ((2,), (2,)))
+                u = t if u is None else u + t
+            u16 = u.astype(jnp.bfloat16)
+            acc = None
+            for W in range(RA):
+                t = raw16(L16[W], u16[:, W * R:(W + 1) * R, :],
+                          ((2,), (2,)))
+                acc = t if acc is None else acc + t
+            out.append(acc)
         return tuple(out)
 
     def pdot(a, b):
@@ -143,32 +233,46 @@ def _cg_site(L, Rcarry, Ak_row, rhs, m2, n: int, RA: int, iters: int,
             acc = s if acc is None else acc + s
         return acc
 
+    def cg_body(apply_k):
+        def body(_, state):
+            x, r, p, rs = state
+            ap = apply_k(p)
+            denom = pdot(p, ap)
+            ok = jnp.abs(denom) > 0.0
+            alpha = jnp.where(ok, rs / jnp.where(ok, denom, 1.0), 0.0)
+            x = tuple(x[i] + alpha * p[i] for i in range(n))
+            r = tuple(r[i] - alpha * ap[i] for i in range(n))
+            rs_new = pdot(r, r)
+            okb = jnp.abs(rs) > 0.0
+            beta = jnp.where(okb, rs_new / jnp.where(okb, rs, 1.0), 0.0)
+            p = tuple(r[i] + beta * p[i] for i in range(n))
+            return (x, r, p, rs_new)
+        return body
+
     if x0 is None:
         x = tuple(jnp.zeros_like(r) for r in rhs)
         r = tuple(rhs)
     else:
         x = tuple(x0[i] * m2[None] for i in range(n))
-        ax = apply_k(x)
+        ax = apply32(x)
         r = tuple(rhs[i] - ax[i] for i in range(n))
-    p = r
-    rs = pdot(r, r)
-
-    def body(_, state):
-        x, r, p, rs = state
-        ap = apply_k(p)
-        denom = pdot(p, ap)
-        ok = jnp.abs(denom) > 0.0
-        alpha = jnp.where(ok, rs / jnp.where(ok, denom, 1.0), 0.0)
-        x = tuple(x[i] + alpha * p[i] for i in range(n))
-        r = tuple(r[i] - alpha * ap[i] for i in range(n))
-        rs_new = pdot(r, r)
-        okb = jnp.abs(rs) > 0.0
-        beta = jnp.where(okb, rs_new / jnp.where(okb, rs, 1.0), 0.0)
-        p = tuple(r[i] + beta * p[i] for i in range(n))
-        return (x, r, p, rs_new)
-
-    x, _, _, _ = jax.lax.fori_loop(0, iters, body, (x, r, p, rs))
-    return x
+    x, _, _, _ = jax.lax.fori_loop(0, iters,
+                                   cg_body(apply16 if mp else apply32),
+                                   (x, r, r, pdot(r, r)))
+    if refine > 0:
+        # second refinement round: true residual in f32, another bf16
+        # correction solve — classic iterative refinement (each round
+        # contracts the error by the bf16 class times its convergence)
+        ax = apply32(x)
+        r = tuple(rhs[i] - ax[i] for i in range(n))
+        x, _, _, _ = jax.lax.fori_loop(0, refine, cg_body(apply16),
+                                       (x, r, r, pdot(r, r)))
+    if polish > 0:
+        ax = apply32(x)
+        r = tuple(rhs[i] - ax[i] for i in range(n))
+        x, _, _, _ = jax.lax.fori_loop(0, polish, cg_body(apply32),
+                                       (x, r, r, pdot(r, r)))
+    return tuple(x[i] * m2[None] for i in range(n))
 
 
 def _orth_cols(V, dpad, m2, eye, n: int, it1: int, it2: int):
@@ -213,7 +317,8 @@ def _orth_rows(V, dpad, m2, eye, n: int, it1: int, it2: int):
 def _sweep_pair_kernel(x_ref, b_ref, A_ref, mrow_ref, mcol_ref,
                        dpad_ref, eye_ref, e00_ref, e00b_ref,
                        out_ref, *, d: int, R: int, RA: int, n: int,
-                       bt: int, cg_iters: int, ns1: int, ns2: int):
+                       bt: int, cg_iters: int, cg_refine: int,
+                       cg_polish: int, ns1: int, ns2: int):
     """The WHOLE forward+backward ALS pass (env-chain build included) for
     a block of ``bt`` problems in one kernel.
 
@@ -291,8 +396,9 @@ def _sweep_pair_kernel(x_ref, b_ref, A_ref, mrow_ref, mcol_ref,
         else:
             warm = [_bdot(T_prev, x_ref[:, k, i], ((2,), (1,)))
                     for i in range(n)]
-        V = _cg_site(L, Renvs[k + 1], Ak_row(k), rhs, m2, n, RA, cg_iters,
-                     x0=warm)
+        RAcat = _fold_A_env(Renvs[k + 1], Ak_row(k), n, RA)
+        V = _cg_site(L, RAcat, rhs, m2, n, RA, cg_iters, x0=warm,
+                     refine=cg_refine, polish=cg_polish)
         Q, T_prev = _orth_cols(V, dpad_ref[k + 1], m2, eye, n, ns1, ns2)
         fwd_Q[k] = Q
         # env updates with the new core
@@ -336,8 +442,9 @@ def _sweep_pair_kernel(x_ref, b_ref, A_ref, mrow_ref, mcol_ref,
         else:
             warm = [_bdot(fwd_Q[k][i], T_bwd, ((2,), (1,)))
                     for i in range(n)]
-        V = _cg_site(Lenvs[k], Renv, Ak_row(k), rhs, m2, n, RA, cg_iters,
-                     x0=warm)
+        RAcat = _fold_A_env(Renv, Ak_row(k), n, RA)
+        V = _cg_site(Lenvs[k], RAcat, rhs, m2, n, RA, cg_iters, x0=warm,
+                     refine=cg_refine, polish=cg_polish)
         Q, T = _orth_rows(V, dpad_ref[k], m2, eye, n, ns1, ns2)
         T_bwd = T
         # right-env updates with the new core
@@ -371,10 +478,12 @@ def _sweep_pair_kernel(x_ref, b_ref, A_ref, mrow_ref, mcol_ref,
                                  ((2,), (1,))) * m2_0[None]
 
 
-@functools.partial(jax.jit, static_argnames=("cg_iters", "ns_iters",
+@functools.partial(jax.jit, static_argnames=("cg_iters", "cg_refine",
+                                             "cg_polish", "ns_iters",
                                              "block_b", "interpret"))
 def als_fwd_bwd_fused_batched(A_stack, b_batch, x_batch, masks,
-                              cg_iters: int = 32,
+                              cg_iters: int = 24,
+                              cg_refine: int = 0, cg_polish: int = 0,
                               ns_iters: tuple = (24, 8),
                               block_b: int = 1,
                               interpret: bool = False):
@@ -420,7 +529,9 @@ def als_fwd_bwd_fused_batched(A_stack, b_batch, x_batch, masks,
         shape, lambda i: tuple(i * 0 for _ in shape), memory_space=ms)
 
     kernel = functools.partial(_sweep_pair_kernel, d=d, R=R, RA=RA, n=n,
-                               bt=bt, cg_iters=cg_iters, ns1=ns1, ns2=ns2)
+                               bt=bt, cg_iters=cg_iters,
+                               cg_refine=cg_refine, cg_polish=cg_polish,
+                               ns1=ns1, ns2=ns2)
     # the default scoped-VMEM budget is a conservative 16 MB; the v5e has
     # 128 MB of physical VMEM per core, and this kernel's env stacks +
     # pipeline buffers measured 17.04M (bt=1, grid=256) / 21.25M (bt=2) —
