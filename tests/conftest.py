@@ -30,3 +30,16 @@ def rng():
 @pytest.fixture
 def key():
     return jax.random.PRNGKey(1234)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled-executable state between modules: a clean full-suite
+    run segfaulted the XLA CPU compiler (twice, deterministically, at the
+    same late jit-of-shard_map compile in test_tsqr) while every half of
+    the suite passes in isolation — cumulative in-process compiler state,
+    not memory (128 GB free) and not any single test. Clearing the jit
+    caches per module keeps the accumulation bounded; cross-module cache
+    reuse is minimal (modules compile distinct shapes)."""
+    yield
+    jax.clear_caches()
