@@ -254,17 +254,21 @@ class TestGramSVDSubstitute:
         monkeypatch.setattr(dev, "_on_tpu", lambda: True)
         for shape in ((12, 7), (7, 12), (9, 9)):
             A = jnp.asarray(rng.standard_normal(shape))
-            u, s, vt = dev._svd_desc(A)
             s_ref = np.linalg.svd(np.asarray(A), compute_uv=False)
-            assert np.allclose(np.asarray(s), s_ref, atol=1e-8)
-            # reconstruction
-            rec = np.asarray((u * s[None, :]) @ vt)
-            assert np.allclose(rec, np.asarray(A), atol=1e-7)
-            # orthonormal factors on the active block
             r = min(shape)
+            # left factorization: u orthonormal, u @ svt == A exactly
+            u, s, svt = dev._svd_left(A)
+            assert np.allclose(np.asarray(s)[:r], s_ref, atol=1e-8)
             assert np.allclose(np.asarray(u.T @ u)[:r, :r], np.eye(r),
                                atol=1e-7)
-            assert np.allclose(np.asarray(vt @ vt.T)[:r, :r], np.eye(r),
+            assert np.allclose(np.asarray(u @ svt), np.asarray(A),
+                               atol=1e-7)
+            # right factorization: v orthonormal, us @ v^T == A exactly
+            v, s2, us = dev._svd_right(A)
+            assert np.allclose(np.asarray(s2)[:r], s_ref, atol=1e-8)
+            assert np.allclose(np.asarray(v.T @ v)[:r, :r], np.eye(r),
+                               atol=1e-7)
+            assert np.allclose(np.asarray(us @ v.T), np.asarray(A),
                                atol=1e-7)
 
     def test_dmrg_cross_tpu_branch_accuracy(self, monkeypatch):

@@ -53,34 +53,39 @@ def _on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _svd_desc(sb):
-    """``(u, s, vt)`` with descending singular values. On TPU: the
-    Gram/eigh truncated-SVD substitute (VERDICT r4 #4) — ``eigh`` of the
-    SMALLER Gram matrix, then the other factor recovered by one matmul
-    with pseudo-inverted singular values (``u = A v / s``). Any SVD
-    SIGABRTs the remote toolchain; eigh compiles. Squared-condition
-    accuracy trade on directions below ``sqrt(eps)*s_max`` — fine for the
-    f32 device cross (the host path keeps LAPACK SVD)."""
+def _svd_left(sb):
+    """``(u, s, svt)`` with descending singular values, where ``svt =
+    diag(s) @ vt = u^H @ sb`` EXACTLY (no pseudo-inverse anywhere). On
+    TPU: eigh of the left Gram ``sb sb^H`` gives an orthonormal ``u`` by
+    construction (VERDICT r4 #4 — any real SVD SIGABRTs the remote
+    toolchain). The DMRG-cross L->R sweep only ever consumes ``u`` (for
+    pivots) and ``svt`` (for the right-boundary core), so nothing is
+    recovered through 1/s — the first formulation did (``u = A v / s``)
+    and the noise-amplified small-s columns entered the maxvol pivots:
+    Wishart val_eps stuck at 1.4e-3 vs 2.5e-4 for the maxvol cross;
+    recovery-free factors remove that floor."""
     if not _on_tpu():
-        return jnp.linalg.svd(sb, full_matrices=False)
-    m, n = sb.shape
-    if n <= m:
-        G = jnp.conj(sb).T @ sb                     # (n, n)
-        w, V = jnp.linalg.eigh(0.5 * (G + jnp.conj(G).T))
-        s = jnp.sqrt(jnp.maximum(w[::-1].real, 0.0))
-        v = V[:, ::-1]
-        cutoff = jnp.finfo(s.dtype).eps * max(m, n) * jnp.max(s)
-        s_inv = jnp.where(s > cutoff, 1.0 / jnp.maximum(s, 1e-300), 0.0)
-        u = (sb @ v) * s_inv[None, :].astype(sb.dtype)
-        return u, s, jnp.conj(v).T
-    G = sb @ jnp.conj(sb).T                         # (m, m)
+        u, s, vt = jnp.linalg.svd(sb, full_matrices=False)
+        return u, s, s[:, None].astype(sb.dtype) * vt
+    G = sb @ jnp.conj(sb).T
     w, U = jnp.linalg.eigh(0.5 * (G + jnp.conj(G).T))
     s = jnp.sqrt(jnp.maximum(w[::-1].real, 0.0))
     u = U[:, ::-1]
-    cutoff = jnp.finfo(s.dtype).eps * max(m, n) * jnp.max(s)
-    s_inv = jnp.where(s > cutoff, 1.0 / jnp.maximum(s, 1e-300), 0.0)
-    vt = s_inv[:, None].astype(sb.dtype) * (jnp.conj(u).T @ sb)
-    return u, s, vt
+    return u, s, jnp.conj(u).T @ sb
+
+
+def _svd_right(sb):
+    """Mirror of :func:`_svd_left` for the R->L sweep: ``(v, s, us)``
+    with ``v`` the orthonormal right singular vectors (columns, from the
+    right Gram's eigh on TPU) and ``us = u @ diag(s) = sb @ v`` exactly."""
+    if not _on_tpu():
+        u, s, vt = jnp.linalg.svd(sb, full_matrices=False)
+        return jnp.conj(vt).T, s, u * s[None, :].astype(sb.dtype)
+    G = jnp.conj(sb).T @ sb
+    w, V = jnp.linalg.eigh(0.5 * (G + jnp.conj(G).T))
+    s = jnp.sqrt(jnp.maximum(w[::-1].real, 0.0))
+    v = V[:, ::-1]
+    return v, s, sb @ v
 
 
 @partial(jax.jit, static_argnames=("maxiter",))
@@ -334,9 +339,20 @@ def dmrg_cross_device(f_idx, Is: Sequence[int], rank: int,
             inv = _pinv_gram if _on_tpu() else jnp.linalg.inv
             for k in range(N - 1):  # L -> R superblock sweep
                 sb, rl, rg = superblock(k)
-                u, s, vt = _svd_desc(sb)
                 r = Rs[k + 1]
-                u_r = u[:, :r]
+                if _on_tpu():
+                    # top-r LEFT basis without SVD and without 1/s: the
+                    # right-Gram eigh gives v; us = sb @ v spans the top
+                    # left subspace with well-conditioned (largest-s)
+                    # columns; a small QR orthonormalizes it. (Direct
+                    # left-Gram eigenvectors and 1/s recovery both
+                    # measured worse on the Wishart gate: 7.1e-3 /
+                    # 1.4e-3 vs 1.3e-5 for this form, v5e 2026-08-21.)
+                    v, s, us = _svd_right(sb)
+                    u_r, _ = jnp.linalg.qr(us[:, :r])
+                else:
+                    u, s, _svt = _svd_left(sb)
+                    u_r = u[:, :r]
                 if k < N - 2:
                     piv = maxvol_fixed(u_r, pivot_tol, maxiter=pivot_maxiter)
                     cores[k] = (u_r @ inv(u_r[piv])).reshape(
@@ -348,14 +364,21 @@ def dmrg_cross_device(f_idx, Is: Sequence[int], rank: int,
                     Il[k + 1] = combined[piv]
                 else:
                     cores[k] = u_r.reshape(rl, Is[k], r)
-                    cores[k + 1] = (s[:r, None] * vt[:r]).reshape(
+                    # exact complement: diag(s) vt == u^H sb when u is the
+                    # exact left basis; with the QR basis this is still the
+                    # exact projection of sb onto span(u_r)
+                    cores[k + 1] = (jnp.conj(u_r).T @ sb).reshape(
                         r, Is[k + 1], rg)
             for k in range(N - 2, -1, -1):  # R -> L superblock sweep
                 sb, rl, rg = superblock(k)
-                u, s, vt = _svd_desc(sb)
                 r = Rs[k + 1]
+                if _on_tpu():
+                    u, s, svt = _svd_left(sb)
+                    q, _ = jnp.linalg.qr(jnp.conj(svt[:r]).T)  # (s2*rg, r)
+                else:
+                    v, s, _us = _svd_right(sb)
+                    q = v[:, :r]                         # (s2*rg, r)
                 if k > 0:
-                    q = jnp.conj(vt[:r]).T               # (s2*rg, r)
                     piv = maxvol_fixed(q, pivot_tol, maxiter=pivot_maxiter)
                     cores[k + 1] = jnp.conj(
                         q @ inv(q[piv])).T.reshape(
@@ -366,9 +389,9 @@ def dmrg_cross_device(f_idx, Is: Sequence[int], rank: int,
                         axis=1)
                     Ig[k] = combined[piv]
                 else:
-                    cores[k] = (u[:, :r] * s[:r][None]).reshape(
-                        rl, Is[k], r)
-                    cores[k + 1] = vt[:r].reshape(r, Is[k + 1], rg)
+                    cores[k] = (sb @ jnp.conj(q)).reshape(rl, Is[k], r)
+                    cores[k + 1] = jnp.conj(q).T.reshape(
+                        r, Is[k + 1], rg)
             if n_val:
                 yhat = evaluate_tt_indices(cores, Xv)
                 eps_hist.append(jnp.linalg.norm(yv - yhat)
