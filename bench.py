@@ -735,8 +735,10 @@ def bench_batched_als_r64(batch: int = 256):
         # bf16 mixed-precision variant measured SLOWER in-kernel)
         ("sweep_pair_fused", jax.jit(lambda bb, xb: als_fwd_bwd_fused_batched(
             lhs_stack, bb, xb, masks))),
+        # warm-started CG-16 (round 5: every local solve starts from the
+        # transported current iterate; residual matches cold CG-32)
         ("explicit_kernel", jax.jit(lambda bb, xb: als_sweeps_b(
-            lhs_stack, bb, xb, masks, 2, cg_iters=32, solver="cg_fused"))),
+            lhs_stack, bb, xb, masks, 2, cg_iters=16, solver="cg_fused"))),
         ("vmap_kernel", jax.jit(lambda bb, xb: jax.vmap(
             lambda b, x: als_sweeps(lhs_stack, b, x, masks, 2,
                                     solver="cg_fused",
@@ -783,11 +785,11 @@ def bench_batched_als_r64(batch: int = 256):
     res = float(np.linalg.norm(lhs_x - u0d) / np.linalg.norm(u0d))
     if not np.isfinite(res) or res > 1e-2:
         raise RuntimeError(f"batched r64 ALS inaccurate: residual={res}")
-    # executed-FLOP accounting: the fused rung performs 25 operator
-    # applies per site (24 warm-started f32 CG + 1 warm residual);
-    # the XLA rungs perform their nominal 32
-    fa = als_sweeps_flops(d, rmax, 4, rmax,
-                          cg_iters=25 if impl == "sweep_pair_fused" else 32)
+    # executed-FLOP accounting by rung: sweep_pair_fused = 24 warm CG +
+    # 1 warm residual apply; explicit_kernel = 16 warm CG + 1; the vmap
+    # fallbacks run their nominal cold 32
+    applies = {"sweep_pair_fused": 25, "explicit_kernel": 17}.get(impl, 32)
+    fa = als_sweeps_flops(d, rmax, 4, rmax, cg_iters=applies)
     return batch / best, batch * fa / best / 1e9, res, impl
 
 

@@ -40,7 +40,7 @@ def _b_boundary_env_b(B, R, Rb, dtype):
 
 
 def _b_local_cg(L, Ac, Renv, Lb, bc, Rb_env, m_l, m_r, cg_iters: int,
-                solver: str = "cg"):
+                solver: str = "cg", v0=None):
     """Masked matrix-free CG on the batched local system (SPD operators).
     ``solver='cg_fused'`` routes the whole solve through the explicitly-
     batched fused kernel (:func:`ttnx.kernels.local_cg_mf.
@@ -60,7 +60,7 @@ def _b_local_cg(L, Ac, Renv, Lb, bc, Rb_env, m_l, m_r, cg_iters: int,
 
         if fits_vmem_mf(L.dtype, R, Ac.shape[0], n):
             return cg_matfree_fused_batched(
-                L, Ac, Renv, rhs, maskv3[0], iters=cg_iters,
+                L, Ac, Renv, rhs, maskv3[0], x0=v0, iters=cg_iters,
                 interpret=pallas_interpret())
 
     def apply_k(v):
@@ -71,8 +71,12 @@ def _b_local_cg(L, Ac, Renv, Lb, bc, Rb_env, m_l, m_r, cg_iters: int,
     def pdot(a, b):
         return jnp.sum((jnp.conj(a) * b).reshape(B, -1), axis=1)
 
-    x = jnp.zeros_like(rhs)
-    r = rhs
+    if v0 is None:
+        x = jnp.zeros_like(rhs)
+        r = rhs
+    else:
+        x = v0 * maskv3
+        r = rhs - apply_k(x)
     p = r
     rs = pdot(r, r)
 
@@ -182,10 +186,12 @@ def als_sweeps_b(A_stack, b_batch, x_batch, masks, sweep_count: int = 2,
         bs = jnp.moveaxis(b_batch, 1, 0)
 
         def step(carry, inp):
-            L, Lb, _T = carry
-            Ac, bc, Renv, Rb_env, m_l, m_r = inp
+            L, Lb, T = carry
+            Ac, bc, Renv, Rb_env, m_l, m_r, xc = inp
+            # warm start: the CURRENT iterate's core = T @ x_old[k]
+            warm = jnp.einsum("Bab,Bbnc->Banc", T, xc)
             V = _b_local_cg(L, Ac, Renv, Lb, bc, Rb_env, m_l, m_r,
-                            cg_iters, solver)
+                            cg_iters, solver, v0=warm)
             q, r = jnp.linalg.qr(V.reshape(Bb, R * n, R))
             q = q * m_r[None, None, :]
             r = r * m_r[None, :, None]
@@ -196,8 +202,9 @@ def als_sweeps_b(A_stack, b_batch, x_batch, masks, sweep_count: int = 2,
                                 optimize=True)
             return (L_new, Lb_new, r), core
 
+        xs_in = jnp.moveaxis(x, 1, 0)
         inputs = (A_stack[:-1], bs[:-1], Renvs[1:d], Rb_envs[1:d],
-                  masks[:-2], masks[1:-1])
+                  masks[:-2], masks[1:-1], xs_in[:-1])
         (L, Lb, T), new_cores = lax.scan(step, (L0, Lb0, T0), inputs)
         last = jnp.einsum("Bab,Bbnc->Banc", T, x[:, d - 1])
         return jnp.concatenate([jnp.moveaxis(new_cores, 0, 1),
@@ -210,10 +217,12 @@ def als_sweeps_b(A_stack, b_batch, x_batch, masks, sweep_count: int = 2,
         bs = jnp.moveaxis(b_batch, 1, 0)
 
         def step(carry, inp):
-            Renv, Rb_env, _T = carry
-            Ac, bc, Lenv, Lb_env, m_l, m_r = inp
+            Renv, Rb_env, T = carry
+            Ac, bc, Lenv, Lb_env, m_l, m_r, xc = inp
+            # warm start: the CURRENT iterate's core = x_mid[k] @ T
+            warm = jnp.einsum("Banb,Bbc->Banc", xc, T)
             V = _b_local_cg(Lenv, Ac, Renv, Lb_env, bc, Rb_env, m_l, m_r,
-                            cg_iters, solver)
+                            cg_iters, solver, v0=warm)
             qt, rt = jnp.linalg.qr(jnp.swapaxes(V.reshape(Bb, R, n * R),
                                                 1, 2))
             q = jnp.swapaxes(qt, 1, 2).reshape(Bb, R, n, R) \
@@ -225,8 +234,9 @@ def als_sweeps_b(A_stack, b_batch, x_batch, masks, sweep_count: int = 2,
                                 Rb_env, optimize=True)
             return (R_new, Rb_new, t), q
 
+        xs_in = jnp.moveaxis(x, 1, 0)
         inputs = (A_stack[1:], bs[1:], Lenvs[1:d], Lb_envs[1:d],
-                  masks[1:-1], masks[2:])
+                  masks[1:-1], masks[2:], xs_in[1:])
         (Renv, Rb_env, T), new_cores = lax.scan(step, (R0, Rb0, T0), inputs,
                                                 reverse=True)
         first = jnp.einsum("Banb,Bbc->Banc", x[:, 0], T)
