@@ -627,7 +627,7 @@ def _cn_residual(u_next, u_prev, hg, h_step):
     return float(np.linalg.norm(lhs - rhs) / np.linalg.norm(rhs))
 
 
-def bench_cn_rank(rmax: int):
+def bench_cn_rank(rmax: int, cg_iters: int = 16):
     """BASELINE's primary metric on the PRODUCTION pipeline (VERDICT r3
     #1): the flagship make_cn_step (padded MPO apply + fused Gram-chain
     rounding + Pallas/matrix-free ALS-CG) at d=12 and the metric's rank
@@ -649,10 +649,13 @@ def bench_cn_rank(rmax: int):
     n = 8
     A = (-1.0 / hg ** 2) * ttnx.toeplitz_to_qtto(2.0, -1.0, -1.0, d)
     u_rks = (1,) + (rmax,) * (d - 1) + (1,)
+    # cg_iters=16 + the round-5 transported warm starts match the old
+    # cold cg_iters=32 gates (validated on-chip; the gates below reject
+    # any regression)
     step_fn, pack, _ = make_cn_step(
         A, h_step, rmax=rmax, dims=(2,) * d, u_rks=u_rks, dtype=jnp.float32,
         sweep_count=2, solver="cg_fused", round_method="gram_chain",
-        precision="highest", cg_iters=32)
+        precision="highest", cg_iters=cg_iters)
     us = pack(_three_mode_state(d, hg))
     v = step_fn(us)
     _sync(v)
@@ -683,11 +686,11 @@ def bench_cn_rank(rmax: int):
     if not np.isfinite(rel) or rel > 1e-3 or res > 1e-2:
         raise RuntimeError(
             f"cn r{rmax} inaccurate: rel={rel:.2e} residual={res:.2e}")
-    flops = cn_step_flops(d, rmax, 4, 4, cg_iters=32)
+    flops = cn_step_flops(d, rmax, 4, 4, cg_iters=cg_iters + 1)
     return ms, flops / (ms / 1e3) / 1e9, rel, res
 
 
-def bench_batched_als_r64(batch: int = 256):
+def bench_batched_als_r64(batch: int = 512):
     """Batched PRODUCTION ALS at the BASELINE metric's rank 64: `vmap` of
     the full scan-ALS solve (d=12, matrix-free CG-32, f32
     precision=HIGHEST) over `batch` independent problems — the continuous-

@@ -49,13 +49,21 @@ def _rowdot(a, b, acc_dtype):
         precision=jax.lax.Precision.HIGHEST)
 
 
-def _cg_kernel(K_ref, b_ref, out_ref, *, iters: int):
+def _cg_kernel(K_ref, b_ref, x0_ref, out_ref, *, iters: int, warm: bool):
     K = K_ref[:]                    # (M, M), symmetric positive definite
     b = b_ref[:]                    # (1, M)
     dt = b.dtype
-    x = jnp.zeros_like(b)
-    r = b
-    p = b
+    if warm:
+        # warm start from the transported current iterate (round 5): one
+        # extra matvec buys ~2x the iteration count's accuracy
+        x = x0_ref[:]
+        r = b - jax.lax.dot_general(
+            x, K, (((1,), (1,)), ((), ())), preferred_element_type=dt,
+            precision=jax.lax.Precision.HIGHEST)
+    else:
+        x = jnp.zeros_like(b)
+        r = b
+    p = r
     rs = _rowdot(r, r, dt)          # (1, 1)
 
     def body(_, state):
@@ -147,14 +155,19 @@ def bicgstab_solve_fused(K, rhs, iters: int = 32, interpret: bool = False):
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "interpret"))
-def cg_solve_fused(K, rhs, iters: int = 48, interpret: bool = False):
+def cg_solve_fused(K, rhs, x0=None, iters: int = 48,
+                   interpret: bool = False):
     """Solve ``K x = rhs`` (SPD ``K (M, M)``, ``rhs (M,)``) by ``iters``
-    conjugate-gradient steps fused into one Pallas kernel."""
+    conjugate-gradient steps fused into one Pallas kernel, optionally
+    warm-started at ``x0``."""
     M = K.shape[0]
     b2 = rhs.reshape(1, M)
+    warm = x0 is not None
+    x02 = b2 if x0 is None else x0.reshape(1, M)
     out = pl.pallas_call(
-        functools.partial(_cg_kernel, iters=iters),
+        functools.partial(_cg_kernel, iters=iters, warm=warm),
         in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM),
         ],
@@ -162,5 +175,5 @@ def cg_solve_fused(K, rhs, iters: int = 48, interpret: bool = False):
                                else pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, M), rhs.dtype),
         interpret=interpret,
-    )(K, b2)
+    )(K, b2, x02)
     return out.reshape(M)

@@ -55,8 +55,8 @@ def _dot(a, b, dims):
                                precision=jax.lax.Precision.HIGHEST)
 
 
-def _kernel(L_ref, Renv_ref, Ac_ref, rhs_ref, mask_ref, out_ref, *,
-            iters: int, R: int, RA: int, n: int):
+def _kernel(L_ref, Renv_ref, Ac_ref, rhs_ref, mask_ref, x0_ref, out_ref, *,
+            iters: int, R: int, RA: int, n: int, warm: bool):
     mask = mask_ref[:]                      # (R, n, R)
     rhs = rhs_ref[:] * mask
 
@@ -89,8 +89,12 @@ def _kernel(L_ref, Renv_ref, Ac_ref, rhs_ref, mask_ref, out_ref, *,
         s = jnp.sum(s, axis=1, keepdims=True)
         return jnp.sum(s, axis=0, keepdims=True)      # (1, 1, 1)
 
-    x = jnp.zeros_like(rhs)
-    r = rhs
+    if warm:
+        x = x0_ref[:] * mask
+        r = rhs - apply_k(x)
+    else:
+        x = jnp.zeros_like(rhs)
+        r = rhs
     p = r
     rs = pdot(r, r)
 
@@ -109,7 +113,7 @@ def _kernel(L_ref, Renv_ref, Ac_ref, rhs_ref, mask_ref, out_ref, *,
         return (x, r, p, rs_new)
 
     x, _, _, _ = jax.lax.fori_loop(0, iters, body, (x, r, p, rs))
-    out_ref[:] = x
+    out_ref[:] = x * mask
 
 
 def _kernel_batched(L_ref, Renv_ref, Ac_ref, rhs_ref, mask_ref, x0_ref,
@@ -236,16 +240,21 @@ def cg_matfree_fused_batched(L, Ac, Renv, rhs, mask, x0=None,
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "interpret"))
-def cg_matfree_fused(L, Ac, Renv, rhs, mask, iters: int = 32,
+def cg_matfree_fused(L, Ac, Renv, rhs, mask, x0=None, iters: int = 32,
                      interpret: bool = False):
     """Solve the masked local system with matrix-free CG entirely in one
-    Pallas kernel. ``L/Renv (R, RA, R)``, ``Ac (RA, n, n, RA)``,
-    ``rhs/mask (R, n, R)``; returns ``x (R, n, R)``."""
+    Pallas kernel, optionally warm-started at ``x0``. ``L/Renv
+    (R, RA, R)``, ``Ac (RA, n, n, RA)``, ``rhs/mask (R, n, R)``; returns
+    ``x (R, n, R)``."""
     R, RA, _ = L.shape
     n = rhs.shape[1]
+    warm = x0 is not None
+    if x0 is None:
+        x0 = rhs
     # Ac is [W, i, J, w]; C-order reshape gives rows (W, i), cols (J, w)
     Ac2 = Ac.reshape(RA * n, n * RA)
-    kernel = functools.partial(_kernel, iters=iters, R=R, RA=RA, n=n)
+    kernel = functools.partial(_kernel, iters=iters, R=R, RA=RA, n=n,
+                               warm=warm)
     space = pl.ANY if interpret else pltpu.VMEM
     sspace = pl.ANY if interpret else pltpu.SMEM
     return pl.pallas_call(
@@ -256,8 +265,9 @@ def cg_matfree_fused(L, Ac, Renv, rhs, mask, iters: int = 32,
             pl.BlockSpec(memory_space=sspace),   # Ac (scalars)
             pl.BlockSpec(memory_space=space),    # rhs
             pl.BlockSpec(memory_space=space),    # mask
+            pl.BlockSpec(memory_space=space),    # warm start
         ],
         out_specs=pl.BlockSpec(memory_space=space),
         out_shape=jax.ShapeDtypeStruct((R, n, R), rhs.dtype),
         interpret=interpret,
-    )(L, Renv, Ac2, rhs, mask)
+    )(L, Renv, Ac2, rhs, mask, x0)

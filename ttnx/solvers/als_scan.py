@@ -136,7 +136,7 @@ def _right_env_stack(x, A, b, mask_r):
     return envs, envs_b
 
 
-def _local_solve_padded(L, Ac, Renv, Lb, bc, Rb_env, m_l, m_r,
+def _local_solve_padded(L, Ac, Renv, Lb, bc, Rb_env, m_l, m_r, v0=None,
                         solver: str = "lu", cg_iters: int = 48):
     """Masked local solve. ``solver='lu'`` assembles the dense operator;
     ``solver='cg'`` runs fixed-iteration conjugate gradients with a
@@ -170,13 +170,15 @@ def _local_solve_padded(L, Ac, Renv, Lb, bc, Rb_env, m_l, m_r,
                 V = bicgstab_solve_fused(K, rhs.reshape(M), iters=cg_iters,
                                          interpret=pallas_interpret())
             else:
-                V = cg_solve_fused(K, rhs.reshape(M), iters=cg_iters,
+                x0f = None if v0 is None else (v0 * maskv3).reshape(M)
+                V = cg_solve_fused(K, rhs.reshape(M), x0=x0f,
+                                   iters=cg_iters,
                                    interpret=pallas_interpret())
             return V.reshape(R, n, R)
         if solver == "cg_fused" and fits_vmem_mf(L.dtype, R, Ac.shape[0], n):
             # rank >= 32: K is VMEM-infeasible but the MATRIX-FREE CG fits
             # (envs only) — whole solve fused in one kernel (local_cg_mf)
-            return cg_matfree_fused(L, Ac, Renv, rhs, maskv3,
+            return cg_matfree_fused(L, Ac, Renv, rhs, maskv3, x0=v0,
                                     iters=cg_iters,
                                     interpret=pallas_interpret())
         # complex / oversized fallbacks stay matrix-free (einsum applies):
@@ -189,8 +191,12 @@ def _local_solve_padded(L, Ac, Renv, Lb, bc, Rb_env, m_l, m_r,
             return out * maskv3 + (1.0 - maskv3) * v
 
         if solver == "cg":
-            x = jnp.zeros_like(rhs)
-            r = rhs
+            if v0 is None:
+                x = jnp.zeros_like(rhs)
+                r = rhs
+            else:
+                x = v0 * maskv3
+                r = rhs - apply_k(x)
             p = r
             rs = jnp.vdot(r, r)
 
@@ -307,10 +313,13 @@ def _forward_half_sweep(x, A, b, Renvs, Rb_envs, masks, solver="lu",
     T0 = jnp.zeros((R, R), dtype=dt).at[0, 0].set(1.0)
 
     def step(carry, inp):
-        L, Lb, _T = carry
-        Ac, bc, Renv, Rb_env, m_l, m_r = inp
+        L, Lb, T = carry
+        Ac, bc, Renv, Rb_env, m_l, m_r, xc = inp
+        # warm start (round 5): the CURRENT iterate's core = T @ x_old[k];
+        # halves the CG iterations at equal residual (measured)
+        warm = jnp.einsum("ab,bnc->anc", T, xc)
         V = _local_solve_padded(L, Ac, Renv, Lb, bc, Rb_env, m_l, m_r,
-                                solver=solver, cg_iters=cg_iters)
+                                v0=warm, solver=solver, cg_iters=cg_iters)
         if orth == "polar":
             q, r = polar_orth(V.reshape(R * n, R))
         else:
@@ -325,7 +334,7 @@ def _forward_half_sweep(x, A, b, Renvs, Rb_envs, masks, solver="lu",
         return (L_new, Lb_new, r), core
 
     inputs = (A[:-1], b[:-1], Renvs[1:d], Rb_envs[1:d],
-              masks[:-2], masks[1:-1])
+              masks[:-2], masks[1:-1], x[:-1])
     (L, Lb, T), new_cores = lax.scan(step, (L0, Lb0, T0), inputs)
     last = jnp.einsum("ab,bnc->anc", T, x[d - 1])
     x_new = jnp.concatenate([new_cores, last[None]], axis=0)
@@ -344,10 +353,12 @@ def _backward_half_sweep(x, A, b, Lenvs, Lb_envs, masks, solver="lu",
     T0 = jnp.zeros((R, R), dtype=dt).at[0, 0].set(1.0)
 
     def step(carry, inp):
-        Renv, Rb_env, _T = carry
-        Ac, bc, Lenv, Lb_env, m_l, m_r = inp
+        Renv, Rb_env, T = carry
+        Ac, bc, Lenv, Lb_env, m_l, m_r, xc = inp
+        # warm start: the CURRENT iterate's core = x_mid[k] @ T
+        warm = jnp.einsum("anb,bc->anc", xc, T)
         V = _local_solve_padded(Lenv, Ac, Renv, Lb_env, bc, Rb_env, m_l, m_r,
-                                solver=solver, cg_iters=cg_iters)
+                                v0=warm, solver=solver, cg_iters=cg_iters)
         if orth == "polar":
             qt, rt = polar_orth(V.reshape(R, n * R).T)
         else:
@@ -361,7 +372,8 @@ def _backward_half_sweep(x, A, b, Lenvs, Lb_envs, masks, solver="lu",
                             optimize=True)
         return (R_new, Rb_new, t), core
 
-    inputs = (A[1:], b[1:], Lenvs[1:d], Lb_envs[1:d], masks[1:-1], masks[2:])
+    inputs = (A[1:], b[1:], Lenvs[1:d], Lb_envs[1:d], masks[1:-1], masks[2:],
+              x[1:])
     (Renv, Rb_env, T), new_cores = lax.scan(
         step, (R0, Rb0, T0), inputs, reverse=True)
     first = jnp.einsum("anb,bc->anc", x[0], T)
