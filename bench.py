@@ -503,22 +503,6 @@ def bench_tdvp2_step():
     return best / n * 1e3
 
 
-def bench_batched_solves():
-    """Batched scan-ALS throughput (solves/s) on one chip — the
-    continuous-batching workload of BASELINE's scaling metric."""
-    import __graft_entry__
-    from ttnx.parallel.batch import batched_als_sweeps
-
-    A_stack, b_stack, x_stack, masks = __graft_entry__._heat_problem(
-        d=10, rmax=8, dtype=jnp.float32)
-    batch = 64
-    b_batch = jnp.broadcast_to(b_stack, (batch,) + b_stack.shape)
-    x_batch = jnp.broadcast_to(x_stack, (batch,) + x_stack.shape)
-    fn = jax.jit(lambda bb, xb: batched_als_sweeps(A_stack, bb, xb, masks, 2))
-    dt = _time_fn(fn, b_batch, x_batch, warmup=1, iters=3)
-    return batch / dt
-
-
 def bench_batch_scaling():
     """Batch-size throughput scaling of the batched scan-ALS on the one real
     chip: solves/s AND ms-per-solve at batch 16/64/256/1024 (the 4-point
