@@ -185,8 +185,12 @@ def _cg_site(L, RAcat, rhs, m2, n: int, RA: int, iters: int, x0=None,
     kept for documentation/experiments; the default is all-f32-HIGHEST
     with the warm start carrying the accuracy."""
     R = rhs[0].shape[1]
-    L16 = [l.astype(jnp.bfloat16) for l in L]
-    RAcat16 = [[c.astype(jnp.bfloat16) for c in row] for row in RAcat]
+    use16 = mp or refine > 0
+    # bf16 operand copies are traced ONLY when a bf16 stage runs — dead
+    # casts would still occupy issue slots if Mosaic kept them
+    L16 = [l.astype(jnp.bfloat16) for l in L] if use16 else None
+    RAcat16 = ([[c.astype(jnp.bfloat16) for c in row] for row in RAcat]
+               if use16 else None)
 
     def raw16(a16, b16, dims):
         return jax.lax.dot_general(a16, b16, (dims, ((0,), (0,))),
