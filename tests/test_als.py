@@ -164,3 +164,35 @@ class TestGenEigsolve:
         E, x = als_gen_eigsolv(A, S, x0, sweep_schedule=[4])
         w = np.linalg.eigvalsh(mat(A))
         assert abs(E[-1] - w[0] / 2.0) < 1e-8
+
+
+def test_warm_started_cg_halves_iterations(key):
+    """Round-5 regression lock: every scan-ALS local CG starts from the
+    transported current iterate, so cg_iters=12 must match the direct 'lu'
+    solve as closely as the old cold cg_iters=32 did."""
+    import ttnx
+    from ttnx.core.algebra import add_op, scale_op
+    from ttnx.core.decomp import ttv_to_tensor
+    from ttnx.core.tt import id_tto, r_and_d_to_rks
+    from ttnx.solvers.als_scan import (als_sweeps, pack_op, pack_tt,
+                                       rank_masks, unpack_tt)
+
+    d, rmax = 6, 8
+    hg = 1.0 / (2 ** d + 1)
+    A = (-1.0 / hg ** 2) * ttnx.toeplitz_to_qtto(2.0, -1.0, -1.0, d)
+    lhs = add_op(id_tto(d), scale_op(-5e-7, A))
+    lhs_stack = pack_op(lhs, max(lhs.ranks))
+    u_rks = r_and_d_to_rks((1,) + (rmax,) * (d - 1) + (1,), (2,) * d,
+                           rmax=rmax)
+    masks = rank_masks(u_rks, rmax)
+    b = pack_tt(ttnx.qtt_sin(d, a=hg, b=1 - hg), rmax)
+
+    def dense(stack):
+        return np.asarray(ttv_to_tensor(unpack_tt(np.asarray(stack),
+                                                  u_rks))).reshape(-1)
+
+    ref = dense(als_sweeps(lhs_stack, b, b, masks, 2, solver="lu"))
+    warm12 = dense(als_sweeps(lhs_stack, b, b, masks, 2, solver="cg",
+                              cg_iters=12))
+    rel = np.linalg.norm(warm12 - ref) / np.linalg.norm(ref)
+    assert rel < 1e-9, rel
